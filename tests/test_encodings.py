@@ -1,0 +1,114 @@
+"""Tests for frequency, spherical-harmonic, and hash-grid encodings."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from umhs_tpu.ops.encodings import (
+    HashEncodingConfig,
+    hash_encode,
+    init_hash_table,
+    nerf_encoding,
+    sh_encoding,
+)
+
+
+class TestNerfEncoding:
+    def test_shape_and_values(self):
+        x = jnp.array([[0.25, 0.0, 1.0]])
+        enc = nerf_encoding(x, num_frequencies=2, min_freq_exp=0.0, max_freq_exp=1.0)
+        assert enc.shape == (1, 12)
+        e = np.asarray(enc)
+        # first feature block is sin/cos of 2*pi*x at freqs {1, 2}
+        np.testing.assert_allclose(e[0, 0], np.sin(2 * np.pi * 0.25), atol=1e-6)
+        np.testing.assert_allclose(e[0, 1], np.sin(4 * np.pi * 0.25), atol=1e-6)
+        np.testing.assert_allclose(e[0, 2], np.cos(2 * np.pi * 0.25), atol=1e-6)
+
+    def test_include_input(self):
+        x = jnp.ones((3, 2))
+        enc = nerf_encoding(x, num_frequencies=3, max_freq_exp=2.0, include_input=True)
+        assert enc.shape == (3, 2 + 2 * 3 * 2)
+
+
+class TestSHEncoding:
+    def test_shape(self):
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        assert sh_encoding(d, levels=4).shape == (1, 16)
+        assert sh_encoding(d, levels=2).shape == (1, 4)
+
+    def test_degree0_constant(self):
+        d = jax.random.normal(jax.random.PRNGKey(0), (10, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        enc = np.asarray(sh_encoding(d))
+        np.testing.assert_allclose(enc[:, 0], 0.28209479177387814, atol=1e-6)
+
+    def test_orthonormality(self):
+        """Monte-Carlo check: int Y_i Y_j dOmega = delta_ij (x 4pi / N)."""
+        key = jax.random.PRNGKey(1)
+        d = jax.random.normal(key, (200000, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        Y = np.asarray(sh_encoding(d))  # (N, 16)
+        gram = (Y.T @ Y) / Y.shape[0] * (4 * np.pi)
+        np.testing.assert_allclose(gram, np.eye(16), atol=0.05)
+
+
+class TestHashEncoding:
+    CFG = HashEncodingConfig(
+        num_levels=4, features_per_level=2, log2_hashmap_size=12, base_resolution=4, max_resolution=32
+    )
+
+    def test_table_layout(self):
+        cfg = self.CFG
+        # coarse levels are dense (res^3 entries), fine levels capped by hashmap
+        assert cfg.level_sizes[0] == cfg.resolutions[0] ** 3
+        assert cfg.level_sizes[-1] == min(cfg.resolutions[-1] ** 3, cfg.hashmap_size)
+        assert cfg.table_size == sum(cfg.level_sizes)
+        assert cfg.output_dim == 8
+
+    def test_shapes(self):
+        cfg = self.CFG
+        table = init_hash_table(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (17, 3))
+        out = hash_encode(table, x, cfg)
+        assert out.shape == (17, cfg.output_dim)
+        out2 = hash_encode(table, x.reshape(1, 17, 3), cfg)
+        assert out2.shape == (1, 17, cfg.output_dim)
+        np.testing.assert_allclose(out, out2[0], atol=1e-6)
+
+    def test_interpolation_continuity(self):
+        """Encoding must be continuous: tiny position deltas -> tiny output deltas."""
+        cfg = self.CFG
+        table = init_hash_table(jax.random.PRNGKey(0), cfg) * 1e4  # amplify
+        x = jnp.array([[0.37, 0.52, 0.81]])
+        eps = 1e-5
+        a = hash_encode(table, x, cfg)
+        b = hash_encode(table, x + eps, cfg)
+        assert np.abs(np.asarray(a - b)).max() < 1e-2
+
+    def test_gradient_flows_to_table(self):
+        cfg = self.CFG
+        table = init_hash_table(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (5, 3))
+
+        def loss(t):
+            return jnp.sum(hash_encode(t, x, cfg) ** 2)
+
+        g = jax.grad(loss)(table)
+        assert np.asarray(jnp.abs(g).sum()) > 0
+
+    def test_big_config_matches_reference_dims(self):
+        cfg = HashEncodingConfig()  # reference defaults: 16 levels, 2^19, 16->2048
+        assert cfg.output_dim == 32
+        assert cfg.num_levels == 16
+        assert abs(cfg.growth_factor - 1.3819) < 1e-3
+        # first level is dense 17^3 < 2^19; last levels hash-capped
+        assert cfg.level_sizes[0] == cfg.resolutions[0] ** 3
+        assert cfg.level_sizes[-1] == 1 << 19
+
+    def test_distinct_positions_distinct_features(self):
+        cfg = self.CFG
+        table = init_hash_table(jax.random.PRNGKey(3), cfg)
+        a = hash_encode(table, jnp.array([[0.1, 0.1, 0.1]]), cfg)
+        b = hash_encode(table, jnp.array([[0.9, 0.9, 0.9]]), cfg)
+        assert np.abs(np.asarray(a - b)).max() > 0

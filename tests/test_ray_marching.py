@@ -1,0 +1,119 @@
+"""Static-shape ray marching tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from umhs_tpu.ops.occupancy import (
+    OccGridConfig,
+    init_occ_state,
+    mark_all_occupied,
+    update_occ_state,
+)
+from umhs_tpu.ops.ray_marching import (
+    MarchConfig,
+    candidate_ts,
+    march_rays,
+    ray_aabb_intersect,
+    sample_positions,
+)
+
+OCC = OccGridConfig(resolution=16, levels=2)
+MARCH = MarchConfig(
+    num_candidates=256, num_samples=32, render_step_size=0.02, cone_angle=0.0,
+    near_plane=0.05, far_plane=100.0,
+)
+
+
+def test_ray_aabb_intersect():
+    o = jnp.array([[-2.0, 0.0, 0.0], [0.0, 0.0, 0.0], [-2.0, 5.0, 0.0]])
+    d = jnp.array([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    tmin, tmax = ray_aabb_intersect(o, d, (-1, -1, -1), (1, 1, 1))
+    np.testing.assert_allclose(np.asarray(tmin)[:2], [1.0, -1.0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tmax)[:2], [3.0, 1.0], atol=1e-5)
+    assert tmin[2] > tmax[2]  # miss
+
+
+def test_candidate_schedule_uniform():
+    ts, dts = candidate_ts(jnp.array([0.5]), MARCH)
+    t = np.asarray(ts)[0]
+    np.testing.assert_allclose(np.diff(t), MARCH.render_step_size, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dts)[0], MARCH.render_step_size, rtol=1e-6)
+
+
+def test_candidate_schedule_cone_growth():
+    march = MarchConfig(num_candidates=512, render_step_size=0.01, cone_angle=0.01)
+    ts, dts = candidate_ts(jnp.array([0.1]), march)
+    t = np.asarray(ts)[0]
+    d = np.asarray(dts)[0]
+    assert (np.diff(t) > 0).all()
+    # late steps grow ~ t * cone_angle
+    np.testing.assert_allclose(d[-1], t[-1] * 0.01, rtol=1e-3)
+    # early steps clamped at render_step_size
+    np.testing.assert_allclose(d[0], 0.01, rtol=1e-5)
+
+
+def test_march_full_grid_starts_near_entry():
+    s = mark_all_occupied(init_occ_state(OCC))
+    o = jnp.array([[-3.0, 0.0, 0.0]])
+    d = jnp.array([[1.0, 0.0, 0.0]])
+    out = march_rays(s["binaries"], OCC, MARCH, o, d)
+    assert out["t_starts"].shape == (1, 32)
+    assert bool(out["mask"][0, 0])
+    # grid spans +/-2 (2 levels), entry at t=1
+    np.testing.assert_allclose(float(out["t_starts"][0, 0]), 1.0, atol=0.03)
+    assert int(out["num_samples"][0]) == 32  # fully occupied -> saturates
+
+
+def test_march_skips_empty_space():
+    """Only a ball at origin occupied: samples concentrate near the ball."""
+    cfg = OccGridConfig(resolution=32, levels=1)
+    dens = lambda x: jnp.where(jnp.linalg.norm(x, axis=-1) < 0.25, 100.0, 0.0)
+    s = init_occ_state(cfg)
+    s = update_occ_state(s, cfg, dens, 0.02, jax.random.PRNGKey(0), full=True)
+    o = jnp.array([[-2.0, 0.0, 0.0]])
+    d = jnp.array([[1.0, 0.0, 0.0]])
+    march = MarchConfig(num_candidates=512, num_samples=64, render_step_size=0.01,
+                        cone_angle=0.0, near_plane=0.05, far_plane=10.0)
+    out = march_rays(s["binaries"], cfg, march, o, d)
+    n = int(out["num_samples"][0])
+    assert n > 0
+    ts = np.asarray(out["t_starts"][0, :n])
+    # ball spans t in [1.75 - eps, 2.25 + eps] along this ray (entry at x=-0.25)
+    assert ts.min() > 1.6 and ts.max() < 2.45
+
+
+def test_march_miss_gives_empty():
+    cfg = OccGridConfig(resolution=8, levels=1)
+    s = init_occ_state(cfg)  # nothing occupied
+    o = jnp.array([[-3.0, 0.0, 0.0]])
+    d = jnp.array([[1.0, 0.0, 0.0]])
+    out = march_rays(s["binaries"], cfg, MARCH, o, d)
+    assert int(out["num_samples"][0]) == 0
+    assert not bool(out["mask"].any())
+
+
+def test_stratified_jitter_changes_samples():
+    s = mark_all_occupied(init_occ_state(OCC))
+    o = jnp.array([[-3.0, 0.0, 0.0]])
+    d = jnp.array([[1.0, 0.0, 0.0]])
+    a = march_rays(s["binaries"], OCC, MARCH, o, d, rng=jax.random.PRNGKey(0))
+    b = march_rays(s["binaries"], OCC, MARCH, o, d, rng=jax.random.PRNGKey(1))
+    assert not np.allclose(np.asarray(a["t_starts"]), np.asarray(b["t_starts"]))
+
+
+def test_sample_positions_midpoints():
+    o = jnp.array([[0.0, 0.0, 0.0]])
+    d = jnp.array([[0.0, 0.0, 2.0]])  # non-unit: must be normalised internally
+    t_starts = jnp.array([[1.0, 2.0]])
+    t_ends = jnp.array([[1.5, 2.5]])
+    pos = np.asarray(sample_positions(o, d, t_starts, t_ends))
+    np.testing.assert_allclose(pos[0, 0], [0, 0, 1.25], atol=1e-6)
+    np.testing.assert_allclose(pos[0, 1], [0, 0, 2.25], atol=1e-6)
+
+
+def test_march_jittable():
+    s = mark_all_occupied(init_occ_state(OCC))
+    f = jax.jit(lambda b, o, d: march_rays(b, OCC, MARCH, o, d))
+    out = f(s["binaries"], jnp.array([[-3.0, 0.0, 0.0]]), jnp.array([[1.0, 0.0, 0.0]]))
+    assert out["t_starts"].shape == (1, 32)

@@ -1,0 +1,122 @@
+"""Volume-rendering weight computation and accumulation on fixed shapes.
+
+TPU-native replacement for the nerfacc CUDA trio the reference calls per step
+(`pack_info` + `render_weight_from_density` + `accumulate_along_rays`,
+/root/reference/umhsnerf/umhs_model.py:245-304 and umhs_renderer.py:28-30).
+
+The reference operates on variable-length *packed* samples; XLA needs static
+shapes, so here every ray carries a fixed `num_samples` lane padded with an
+explicit validity mask. Transmittance is an exclusive cumulative sum of
+sigma*delta along the sample axis; accumulation of any per-sample value
+(spectra over all bands, abundances, depth, opacity) is one einsum that XLA
+fuses with the weight computation — the TPU analogue of nerfacc's
+"compute weights once, contract every channel in one pass".
+
+Also mirrors nerfacc's visibility filtering (`render_visibility_from_density`):
+samples whose alpha falls below `alpha_thre` are dropped *before* they can
+attenuate later samples, and samples behind accumulated transmittance below
+`early_stop_eps` are dropped (the reference sets alpha_thre=0.01,
+early-stop 1e-4 via nerfacc defaults; umhs_model.py:82-83).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def exclusive_cumsum(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Cumulative sum shifted so position i holds sum of elements < i."""
+    c = jnp.cumsum(x, axis=axis)
+    return c - x
+
+
+def render_weights(
+    t_starts: jnp.ndarray,
+    t_ends: jnp.ndarray,
+    sigmas: jnp.ndarray,
+    mask: jnp.ndarray,
+    alpha_thre: float = 0.0,
+    early_stop_eps: float = 1e-4,
+) -> jnp.ndarray:
+    """Per-sample compositing weights w_i = T_i * (1 - exp(-sigma_i * delta_i)).
+
+    Args:
+        t_starts, t_ends, sigmas: (num_rays, num_samples) float arrays.
+        mask: (num_rays, num_samples) bool — padding lanes are False.
+        alpha_thre: drop samples with alpha below this (they neither emit nor
+            attenuate), matching nerfacc's visibility filter.
+        early_stop_eps: drop samples once transmittance falls below this.
+
+    Returns:
+        (num_rays, num_samples) float weights (0 on dropped/padding lanes).
+    """
+    delta = jnp.maximum(t_ends - t_starts, 0.0)
+    sigma_delta = jnp.where(mask, sigmas * delta, 0.0)
+    alphas = 1.0 - jnp.exp(-sigma_delta)
+
+    if alpha_thre > 0.0:
+        visible = jax.lax.stop_gradient(alphas) >= alpha_thre
+        keep = mask & visible
+        sigma_delta = jnp.where(keep, sigma_delta, 0.0)
+        alphas = jnp.where(keep, alphas, 0.0)
+
+    trans = jnp.exp(-exclusive_cumsum(sigma_delta, axis=-1))
+    if early_stop_eps > 0.0:
+        alive = jax.lax.stop_gradient(trans) >= early_stop_eps
+        alphas = jnp.where(alive, alphas, 0.0)
+    return alphas * trans
+
+
+def accumulate(weights: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
+    """Weighted sum of per-sample values along the ray.
+
+    weights: (R, S); values: (R, S, C) -> (R, C).
+    """
+    return jnp.einsum("rs,rsc->rc", weights, values)
+
+
+def render_accumulation(weights: jnp.ndarray) -> jnp.ndarray:
+    """Opacity per ray: sum of weights. (R, S) -> (R, 1)."""
+    return jnp.sum(weights, axis=-1, keepdims=True)
+
+
+def render_depth_expected(
+    weights: jnp.ndarray,
+    t_starts: jnp.ndarray,
+    t_ends: jnp.ndarray,
+    mask: jnp.ndarray,
+    eps: float = 1e-10,
+) -> jnp.ndarray:
+    """Expected depth: sum(w * midpoint) / (sum(w) + eps), clipped to the
+    sample range — matches nerfstudio's DepthRenderer(method="expected")
+    used by the reference's renderer_depth."""
+    mids = (t_starts + t_ends) / 2.0
+    depth = jnp.sum(weights * mids, axis=-1, keepdims=True)
+    acc = jnp.sum(weights, axis=-1, keepdims=True)
+    depth = depth / (acc + eps)
+    big = jnp.finfo(mids.dtype).max
+    mid_min = jnp.min(jnp.where(mask, mids, big))
+    mid_max = jnp.max(jnp.where(mask, mids, -big))
+    return jnp.clip(depth, mid_min, mid_max)
+
+
+def get_weights_dense(deltas: jnp.ndarray, densities: jnp.ndarray) -> jnp.ndarray:
+    """Dense-tensor transmittance weights (no masking, no filtering).
+
+    Port of the reference's standalone helper `get_weights_spectral`
+    (/root/reference/umhsnerf/umhs_renderer.py:117-138); used as the golden
+    reference in unit tests.
+
+    deltas, densities: (..., S, 1).
+    """
+    delta_density = deltas * densities
+    alphas = 1.0 - jnp.exp(-delta_density)
+    trans = jnp.cumsum(delta_density[..., :-1, :], axis=-2)
+    trans = jnp.concatenate(
+        [jnp.zeros((*trans.shape[:-2], 1, trans.shape[-1]), dtype=trans.dtype), trans],
+        axis=-2,
+    )
+    trans = jnp.exp(-trans)
+    weights = alphas * trans
+    return jnp.nan_to_num(weights)

@@ -1,0 +1,244 @@
+"""Position / direction encodings: frequency (NeRF), spherical harmonics, hash grid.
+
+TPU-native equivalents of the encodings the reference pulls from
+nerfstudio/tiny-cuda-nn (/root/reference/umhsnerf/umhs_field.py:18,22 and the
+parent NerfactoField's `mlp_base` hash encoding):
+
+- `nerf_encoding`: sin/cos frequency features (NeRFEncoding with
+  num_frequencies=2, min/max freq exponents 0..1 in the reference field).
+- `sh_encoding`: real spherical harmonics up to degree 4 (16 components),
+  closed form — XLA fuses this into the surrounding MLP, no kernel needed.
+- `HashEncoding`: multi-resolution hash grid (Instant-NGP). Dense indexing at
+  coarse levels whose grid fits in the table, XOR-prime hashing at fine
+  levels, trilinear interpolation. This is the TPU replacement for the
+  tiny-cuda-nn fused HashGrid; it is a batched gather from one flat table so
+  XLA can software-pipeline HBM loads.
+
+All functions are shape-polymorphic over leading batch dims but keep the
+last dim static (3 for positions/directions).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def nerf_encoding(
+    x: jnp.ndarray,
+    num_frequencies: int = 2,
+    min_freq_exp: float = 0.0,
+    max_freq_exp: float = 1.0,
+    include_input: bool = False,
+) -> jnp.ndarray:
+    """Sinusoidal frequency encoding: sin/cos(2^f * 2*pi * x).
+
+    Output dim = in_dim * num_frequencies * 2 (+ in_dim if include_input).
+    """
+    freqs = 2.0 ** np.linspace(min_freq_exp, max_freq_exp, num_frequencies)
+    freqs = jnp.asarray(freqs, dtype=x.dtype)
+    scaled = (2.0 * jnp.pi * x)[..., None] * freqs  # (..., D, F)
+    sin = jnp.sin(scaled)
+    cos = jnp.cos(scaled)
+    enc = jnp.concatenate([sin, cos], axis=-1)  # (..., D, 2F)
+    enc = enc.reshape(*x.shape[:-1], x.shape[-1] * num_frequencies * 2)
+    if include_input:
+        enc = jnp.concatenate([x, enc], axis=-1)
+    return enc
+
+
+def sh_encoding(directions: jnp.ndarray, levels: int = 4) -> jnp.ndarray:
+    """Real spherical harmonics of unit directions, degrees 0..levels-1.
+
+    levels=4 -> 16 components (matches SHEncoding(levels=4) in the reference
+    field's direction encoding). Expects unit-norm directions in [-1, 1]^3.
+    """
+    assert 1 <= levels <= 4
+    x, y, z = directions[..., 0], directions[..., 1], directions[..., 2]
+    out = [jnp.full_like(x, 0.28209479177387814)]
+    if levels >= 2:
+        out += [
+            -0.48860251190291987 * y,
+            0.48860251190291987 * z,
+            -0.48860251190291987 * x,
+        ]
+    if levels >= 3:
+        xy, yz, xz = x * y, y * z, x * z
+        x2, y2, z2 = x * x, y * y, z * z
+        out += [
+            1.0925484305920792 * xy,
+            -1.0925484305920792 * yz,
+            0.94617469575755997 * z2 - 0.31539156525251999,
+            -1.0925484305920792 * xz,
+            0.54627421529603959 * (x2 - y2),
+        ]
+    if levels >= 4:
+        out += [
+            0.59004358992664352 * y * (-3.0 * x2 + y2),
+            2.8906114426405538 * xy * z,
+            0.45704579946446572 * y * (1.0 - 5.0 * z2),
+            0.3731763325901154 * z * (5.0 * z2 - 3.0),
+            0.45704579946446572 * x * (1.0 - 5.0 * z2),
+            1.4453057213202769 * z * (x2 - y2),
+            0.59004358992664352 * x * (-x2 + 3.0 * y2),
+        ]
+    return jnp.stack(out, axis=-1)
+
+
+_HASH_PRIMES = (1, 2654435761, 805459861)
+
+
+@dataclasses.dataclass(frozen=True)
+class HashEncodingConfig:
+    """Static configuration of the multi-resolution hash grid."""
+
+    num_levels: int = 16
+    features_per_level: int = 2
+    log2_hashmap_size: int = 19
+    base_resolution: int = 16
+    max_resolution: int = 2048
+
+    @property
+    def growth_factor(self) -> float:
+        if self.num_levels == 1:
+            return 1.0
+        return math.exp(
+            (math.log(self.max_resolution) - math.log(self.base_resolution))
+            / (self.num_levels - 1)
+        )
+
+    @property
+    def hashmap_size(self) -> int:
+        return 1 << self.log2_hashmap_size
+
+    @property
+    def scales(self) -> Sequence[float]:
+        """Per-level grid scale: pos in [0,1] is multiplied by this."""
+        return tuple(
+            self.base_resolution * self.growth_factor**lvl - 1.0
+            for lvl in range(self.num_levels)
+        )
+
+    @property
+    def resolutions(self) -> Sequence[int]:
+        return tuple(int(math.ceil(s)) + 1 for s in self.scales)
+
+    @property
+    def level_sizes(self) -> Sequence[int]:
+        """Table entries per level: dense grid when it fits, else hashmap."""
+        sizes = []
+        for res in self.resolutions:
+            dense = res**3
+            sizes.append(dense if dense <= self.hashmap_size else self.hashmap_size)
+        return tuple(sizes)
+
+    @property
+    def level_offsets(self) -> Sequence[int]:
+        offs, acc = [], 0
+        for s in self.level_sizes:
+            offs.append(acc)
+            acc += s
+        return tuple(offs)
+
+    @property
+    def table_size(self) -> int:
+        return sum(self.level_sizes)
+
+    @property
+    def output_dim(self) -> int:
+        return self.num_levels * self.features_per_level
+
+
+def init_hash_table(
+    key: jax.Array, config: HashEncodingConfig, dtype=jnp.float32
+) -> jnp.ndarray:
+    """Uniform(-1e-4, 1e-4) init, as in Instant-NGP."""
+    return jax.random.uniform(
+        key,
+        (config.table_size, config.features_per_level),
+        minval=-1e-4,
+        maxval=1e-4,
+        dtype=dtype,
+    )
+
+
+def _level_indices(config: HashEncodingConfig):
+    """Static per-level constants as numpy arrays for tracing."""
+    scales = np.asarray(config.scales, dtype=np.float32)  # (L,)
+    resolutions = np.asarray(config.resolutions, dtype=np.int32)
+    sizes = np.asarray(config.level_sizes, dtype=np.int32)
+    offsets = np.asarray(config.level_offsets, dtype=np.int32)
+    dense = np.asarray(
+        [r**3 <= config.hashmap_size for r in config.resolutions], dtype=bool
+    )
+    return scales, resolutions, sizes, offsets, dense
+
+
+def hash_encode(
+    table: jnp.ndarray, positions: jnp.ndarray, config: HashEncodingConfig
+) -> jnp.ndarray:
+    """Multi-resolution hash encoding of positions in [0, 1]^3.
+
+    Args:
+        table: (table_size, features_per_level) parameter array.
+        positions: (..., 3) in [0, 1].
+
+    Returns:
+        (..., num_levels * features_per_level) interpolated features.
+    """
+    batch_shape = positions.shape[:-1]
+    pos = positions.reshape(-1, 3).astype(jnp.float32)  # (N, 3)
+    n = pos.shape[0]
+    L = config.num_levels
+
+    scales, resolutions, sizes, offsets, dense = _level_indices(config)
+    scales_j = jnp.asarray(scales)  # (L,)
+    res_j = jnp.asarray(resolutions)  # (L,)
+    sizes_j = jnp.asarray(sizes)
+    offsets_j = jnp.asarray(offsets)
+    dense_j = jnp.asarray(dense)
+
+    # Scale per level: x*scale + 0.5 (tcnn convention), corners via floor.
+    scaled = pos[:, None, :] * scales_j[None, :, None] + 0.5  # (N, L, 3)
+    base = jnp.floor(scaled)
+    frac = scaled - base  # (N, L, 3)
+    base = base.astype(jnp.int32)
+
+    # 8 corner offsets (c & 1, c>>1 & 1, c>>2 & 1).
+    corners = np.stack(
+        [[(c >> 0) & 1, (c >> 1) & 1, (c >> 2) & 1] for c in range(8)], axis=0
+    )  # (8, 3)
+    corners_j = jnp.asarray(corners, dtype=jnp.int32)
+
+    coords = base[:, :, None, :] + corners_j[None, None, :, :]  # (N, L, 8, 3)
+    coords = jnp.clip(coords, 0, res_j[None, :, None, None] - 1)
+
+    cx = coords[..., 0].astype(jnp.uint32)
+    cy = coords[..., 1].astype(jnp.uint32)
+    cz = coords[..., 2].astype(jnp.uint32)
+
+    res_u = res_j.astype(jnp.uint32)[None, :, None]
+    dense_idx = cx + cy * res_u + cz * res_u * res_u
+    hashed_idx = (
+        cx * np.uint32(_HASH_PRIMES[0])
+        ^ cy * np.uint32(_HASH_PRIMES[1])
+        ^ cz * np.uint32(_HASH_PRIMES[2])
+    )
+    sizes_u = sizes_j.astype(jnp.uint32)[None, :, None]
+    idx = jnp.where(dense_j[None, :, None], dense_idx % sizes_u, hashed_idx % sizes_u)
+    idx = idx.astype(jnp.int32) + offsets_j[None, :, None]  # (N, L, 8)
+
+    feats = jnp.take(table, idx.reshape(-1), axis=0)  # (N*L*8, F)
+    feats = feats.reshape(n, L, 8, config.features_per_level)
+
+    # Trilinear weights per corner.
+    w = jnp.where(corners_j[None, None, :, :] == 1, frac[:, :, None, :], 1.0 - frac[:, :, None, :])
+    weights = w[..., 0] * w[..., 1] * w[..., 2]  # (N, L, 8)
+
+    out = jnp.sum(feats * weights[..., None].astype(feats.dtype), axis=2)  # (N, L, F)
+    return out.reshape(*batch_shape, config.output_dim)
