@@ -112,3 +112,37 @@ class TestHashEncoding:
         a = hash_encode(table, jnp.array([[0.1, 0.1, 0.1]]), cfg)
         b = hash_encode(table, jnp.array([[0.9, 0.9, 0.9]]), cfg)
         assert np.abs(np.asarray(a - b)).max() > 0
+
+
+class TestHashEncodingLaneLayout:
+    """Production lane-layout implementation must match the reference impl."""
+
+    def test_matches_reference_small(self):
+        from umhs_tpu.ops.encodings import hash_encode_reference
+
+        cfg = TestHashEncoding.CFG
+        table = init_hash_table(jax.random.PRNGKey(7), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(8), (37, 3))
+        a = np.asarray(hash_encode(table, x, cfg))
+        b = np.asarray(hash_encode_reference(table, x, cfg))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-8)
+
+    def test_matches_reference_full_config(self):
+        from umhs_tpu.ops.encodings import hash_encode_reference
+
+        cfg = HashEncodingConfig()  # 16 levels, 2^19 — the real model config
+        table = init_hash_table(jax.random.PRNGKey(9), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(10), (64, 3))
+        a = np.asarray(hash_encode(table, x, cfg))
+        b = np.asarray(hash_encode_reference(table, x, cfg))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-8)
+
+    def test_boundary_positions(self):
+        from umhs_tpu.ops.encodings import hash_encode_reference
+
+        cfg = TestHashEncoding.CFG
+        table = init_hash_table(jax.random.PRNGKey(11), cfg)
+        x = jnp.array([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0], [0.0, 1.0, 0.5]])
+        a = np.asarray(hash_encode(table, x, cfg))
+        b = np.asarray(hash_encode_reference(table, x, cfg))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-8)

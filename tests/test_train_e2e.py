@@ -1,0 +1,117 @@
+"""End-to-end training smoke tests on the synthetic scene.
+
+The minimum viable slice of SURVEY.md §7 step 4: dataparser -> sampler ->
+field -> compositor -> loss -> Adam -> eval metrics, on a tiny scene — and
+the spectral path with VCA init, unmixing, and eval-image metrics.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from umhs_tpu.data.datamanager import DataManagerConfig
+from umhs_tpu.data.dataparser import DataParserConfig
+from umhs_tpu.data.synthetic import SyntheticSceneConfig, write_dataset
+from umhs_tpu.engine.trainer import OptimizerConfig, Trainer, TrainerConfig
+from umhs_tpu.models.model import ModelConfig
+
+
+SCENE = SyntheticSceneConfig(
+    num_views_train=10, num_views_eval=2, image_size=40, num_bands=8, num_spheres=2
+)
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("scene_e2e")
+    write_dataset(root, SCENE)
+    return root
+
+
+def _trainer(scene_dir, tmp_path, method="rgb+spectral", iters=300, **model_kw):
+    model_cfg = ModelConfig(
+        method=method,
+        grid_resolution=32,
+        grid_levels=1,
+        max_res=128,
+        log2_hashmap_size=15,
+        num_candidates=256,
+        max_samples_per_ray=32,
+        cone_angle=0.0,
+        pred_specular=False,
+        load_vca=(method != "rgb"),
+        eval_num_rays_per_chunk=800,
+        **model_kw,
+    )
+    dm_cfg = DataManagerConfig(
+        dataparser=DataParserConfig(data=scene_dir, num_classes=2),
+        train_num_rays_per_batch=512,
+        eval_num_rays_per_batch=256,
+    )
+    t_cfg = TrainerConfig(
+        max_num_iterations=iters,
+        steps_per_save=10_000_000,  # no checkpoints in smoke test
+        steps_per_eval_batch=10_000_000,
+        steps_per_log=100,
+        output_dir=tmp_path / "outputs",
+        experiment_name="smoke",
+        mixed_precision=False,
+        use_mesh=False,
+        optimizer=OptimizerConfig(lr=1e-2, max_steps=iters),
+    )
+    return Trainer(t_cfg, model_cfg, dm_cfg, num_classes=2)
+
+
+def test_rgb_training_improves(scene_dir, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    trainer = _trainer(scene_dir, tmp_path, method="rgb", iters=250).setup()
+    m0 = trainer.eval_batch()
+    metrics = trainer.train()
+    m1 = trainer.eval_batch()
+    assert m1["psnr"] > m0["psnr"] + 3, (m0, m1)
+    assert m1["psnr"] > 16, m1
+    assert np.isfinite(metrics["loss/total"])
+
+
+def test_spectral_training_and_eval_image(scene_dir, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    trainer = _trainer(scene_dir, tmp_path, method="rgb+spectral", iters=400).setup()
+    # VCA side-channel must have seeded the endmembers
+    assert os.path.exists("vca.npy")
+    em0 = np.load("vca.npy")
+    np.testing.assert_allclose(
+        np.asarray(trainer.state["params"]["endmembers"]), em0, atol=1e-6
+    )
+
+    trainer.train()
+    m = trainer.eval_image(0)
+    assert m["psnr"] > 14, m
+    assert m["psnr_spectral"] > 14, m
+    assert m["sam_spectral"] < 0.5, m
+    assert 0 < m["ssim"] <= 1
+    # endmember dump side-channel (every 100 steps)
+    assert os.path.exists("endmembers.npy")
+    em = np.load("endmembers.npy")
+    assert em.shape == (2, SCENE.num_bands)
+    assert em.min() >= 0 and em.max() <= 1  # clamped
+
+
+def test_checkpoint_roundtrip(scene_dir, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    trainer = _trainer(scene_dir, tmp_path, method="rgb", iters=30).setup()
+    trainer.train(num_iterations=30)
+    trainer.save_checkpoint()
+    ckpt_dir = trainer.checkpoint_dir
+    ref_psnr = trainer.eval_batch()["psnr"]
+
+    trainer2 = _trainer(scene_dir, tmp_path, method="rgb", iters=30).setup()
+    trainer2.load_checkpoint(ckpt_dir)
+    assert trainer2.step == 30
+    np.testing.assert_allclose(
+        np.asarray(trainer2.state["params"]["hash_table"]),
+        np.asarray(trainer.state["params"]["hash_table"]),
+        atol=1e-7,
+    )
+    assert abs(trainer2.eval_batch()["psnr"] - ref_psnr) < 1e-3

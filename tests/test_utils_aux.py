@@ -1,0 +1,134 @@
+"""Tests for aux subsystems: metrics, hooks, profiler, prep, explore, writer."""
+
+import json
+import math
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from umhs_tpu.utils import metrics as M
+from umhs_tpu.utils.hooks import assert_finite, checkify_nan
+from umhs_tpu.utils.profiler import time_function
+from umhs_tpu.utils.writer import ConsoleWriter, make_writer
+
+
+class TestMetrics:
+    def test_psnr(self):
+        a = np.zeros((8, 8, 3))
+        b = np.full((8, 8, 3), 0.1)
+        assert abs(M.psnr(a, a) - 120.0) < 1  # clamped mse floor
+        assert abs(M.psnr(a, b) - 20.0) < 1e-3
+
+    def test_ssim_identity(self):
+        rng = np.random.default_rng(0)
+        img = rng.random((32, 32, 3))
+        assert M.ssim(img, img) > 0.999
+        assert M.ssim(img, rng.random((32, 32, 3))) < 0.5
+
+    def test_sam(self):
+        a = np.ones((4, 4, 8))
+        assert M.sam(a, a * 2) < 1e-4  # same direction (float eps in arccos)
+        b = np.zeros((4, 4, 8))
+        b[..., 0] = 1
+        c = np.zeros((4, 4, 8))
+        c[..., 1] = 1
+        assert abs(M.sam(b, c) - math.pi / 2) < 1e-3  # orthogonal
+
+    def test_mse2psnr(self):
+        assert abs(M.mse2psnr(0.01) - 20.0) < 1e-6
+
+
+class TestHooks:
+    def test_assert_finite(self):
+        assert_finite({"a": jnp.ones(3)})
+        with pytest.raises(FloatingPointError):
+            assert_finite({"a": jnp.array([1.0, np.nan])})
+
+    def test_checkify_nan(self):
+        import jax
+
+        f = checkify_nan(jax.jit(lambda x: jnp.log(x)))
+        f(jnp.ones(3))  # fine
+        with pytest.raises(Exception):
+            f(jnp.zeros(3) - 1.0)  # log of negative -> nan
+
+
+def test_time_function_records():
+    @time_function
+    def work():
+        return 42
+
+    assert work() == 42
+
+
+class TestPrep:
+    def test_camera_params_and_hs_paths(self, tmp_path):
+        from umhs_tpu.data.prep import add_camera_params, add_hyperspectral_paths
+
+        meta = {
+            "camera_angle_x": 0.6911,
+            "frames": [{"file_path": "train/r_0.png"}, {"file_path": "train/r_1.png"}],
+        }
+        p = tmp_path / "transforms.json"
+        p.write_text(json.dumps(meta))
+        out = add_camera_params(p)
+        assert out["camera_model"] == "OPENCV"
+        assert abs(out["fl_x"] - 0.5 * 512 / math.tan(0.6911 / 2)) < 1e-6
+        out = add_hyperspectral_paths(p)
+        assert out["frames"][0]["hyperspectral_file_path"] == "train/r_0.npy"
+
+    def test_merge(self, tmp_path):
+        from umhs_tpu.data.prep import merge_transforms
+
+        (tmp_path / "a.json").write_text(json.dumps({"frames": [{"f": 1}]}))
+        (tmp_path / "b.json").write_text(
+            json.dumps({"frames": [{"f": 2}], "fl_x": 5})
+        )
+        merged = merge_transforms(
+            tmp_path / "a.json", tmp_path / "b.json", tmp_path / "m.json"
+        )
+        assert len(merged["frames"]) == 2
+        assert merged["fl_x"] == 5
+
+    def test_spec_cube_png(self, tmp_path):
+        from umhs_tpu.data.prep import NESPOF_WAVELENGTHS, spec_cube_to_rgb_png
+
+        cube = np.random.default_rng(0).random((8, 8, 21)).astype(np.float32)
+        spec_cube_to_rgb_png(cube, NESPOF_WAVELENGTHS, tmp_path / "x.png")
+        assert (tmp_path / "x.png").exists()
+
+
+class TestExplore:
+    def test_cube_stats_and_band(self, tmp_path):
+        from umhs_tpu.data.explore import band_image, cube_stats
+
+        cube = np.random.default_rng(1).random((8, 8, 5)).astype(np.float32)
+        np.save(tmp_path / "c.npy", cube)
+        s = cube_stats(tmp_path / "c.npy")
+        assert s["shape"] == (8, 8, 5)
+        img = band_image(tmp_path / "c.npy", 2, tmp_path / "b.png")
+        assert img.shape == (8, 8)
+        assert (tmp_path / "b.png").exists()
+
+    def test_wavelength_curve(self):
+        from umhs_tpu.data.explore import wavelength_rgb_curve
+
+        m = wavelength_rgb_curve(list(range(450, 651, 10)))
+        assert m.shape == (21, 3)
+
+
+class TestWriter:
+    def test_console_writer_jsonl(self, tmp_path, capsys):
+        w = ConsoleWriter(tmp_path / "m.jsonl")
+        w.write(5, {"psnr": 21.5})
+        out = capsys.readouterr().out
+        assert "psnr" in out and "step 5" in out
+        rec = json.loads((tmp_path / "m.jsonl").read_text().strip())
+        assert rec["step"] == 5 and rec["psnr"] == 21.5
+
+    def test_make_writer_fallback(self, tmp_path):
+        w = make_writer("nonexistent+console", tmp_path)
+        w.write(1, {"x": 1.0})
+        w.close()

@@ -55,7 +55,12 @@ def render_weights(
     sigma_delta = jnp.where(mask, sigmas * delta, 0.0)
     alphas = 1.0 - jnp.exp(-sigma_delta)
 
-    if alpha_thre > 0.0:
+    # alpha_thre may be a traced scalar: nerfacc uses
+    # min(alpha_thre, occs.mean()) so early training (empty grid) filters
+    # nothing — otherwise init-time alphas (~sigma*delta << thre) would all
+    # be dropped and no gradient could ever flow.
+    is_static_zero = isinstance(alpha_thre, (int, float)) and alpha_thre <= 0.0
+    if not is_static_zero:
         visible = jax.lax.stop_gradient(alphas) >= alpha_thre
         keep = mask & visible
         sigma_delta = jnp.where(keep, sigma_delta, 0.0)

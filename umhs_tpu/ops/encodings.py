@@ -179,18 +179,12 @@ def _level_indices(config: HashEncodingConfig):
     return scales, resolutions, sizes, offsets, dense
 
 
-def hash_encode(
+def hash_encode_reference(
     table: jnp.ndarray, positions: jnp.ndarray, config: HashEncodingConfig
 ) -> jnp.ndarray:
-    """Multi-resolution hash encoding of positions in [0, 1]^3.
-
-    Args:
-        table: (table_size, features_per_level) parameter array.
-        positions: (..., 3) in [0, 1].
-
-    Returns:
-        (..., num_levels * features_per_level) interpolated features.
-    """
+    """Readable reference implementation (small (..., L, 8, 3) intermediates —
+    fine on CPU, pathological layouts on TPU). Used as the golden value in
+    unit tests; production path is `hash_encode` below."""
     batch_shape = positions.shape[:-1]
     pos = positions.reshape(-1, 3).astype(jnp.float32)  # (N, 3)
     n = pos.shape[0]
@@ -242,3 +236,102 @@ def hash_encode(
 
     out = jnp.sum(feats * weights[..., None].astype(feats.dtype), axis=2)  # (N, L, F)
     return out.reshape(*batch_shape, config.output_dim)
+
+
+def _lane_constants(config: HashEncodingConfig):
+    """Per-lane (level, corner) static constants, lane = level*8 + corner.
+
+    TPU tiles the two minor dims as (8, 128); any tensor whose minor dim is
+    3 or 8 pads to 128 lanes (up to 42x memory blowup — observed as a 25 GB
+    allocation for a (1M, 16, 8, 3) corner-coordinate intermediate). Folding
+    (level, corner) into one lane axis of exactly num_levels*8 (= 128 for the
+    reference's 16 levels) makes every intermediate perfectly tile-aligned.
+    """
+    L = config.num_levels
+    lanes = L * 8
+    lane = np.arange(lanes)
+    lvl = lane // 8
+    corner = lane % 8
+    scales, resolutions, sizes, offsets, dense = _level_indices(config)
+    return {
+        "lanes": lanes,
+        "scale": scales[lvl][None, :],  # (1, lanes) f32
+        "res": resolutions[lvl][None, :].astype(np.int32),
+        "size": sizes[lvl][None, :].astype(np.uint32),
+        "offset": offsets[lvl][None, :].astype(np.int32),
+        "dense": dense[lvl][None, :],
+        "ox": ((corner >> 0) & 1)[None, :].astype(np.int32),
+        "oy": ((corner >> 1) & 1)[None, :].astype(np.int32),
+        "oz": ((corner >> 2) & 1)[None, :].astype(np.int32),
+        # corner-sum matrix: (lanes, L) with 1 where lane's level == column
+        "reduce": (lvl[:, None] == np.arange(L)[None, :]).astype(np.float32),
+    }
+
+
+def _lane_axis(p, o_key, lane):
+    """Per-axis scaled coordinate, integer corner coord, interp weight —
+    all (N, lanes)."""
+    s = p * lane["scale"] + 0.5  # (N, lanes)
+    base = jnp.floor(s)
+    frac = s - base
+    o = jnp.asarray(lane[o_key])
+    coord = jnp.clip(base.astype(jnp.int32) + o, 0, jnp.asarray(lane["res"]) - 1)
+    weight = jnp.where(o == 1, frac, 1.0 - frac)
+    return coord, weight
+
+
+def hash_encode(
+    table: jnp.ndarray, positions: jnp.ndarray, config: HashEncodingConfig
+) -> jnp.ndarray:
+    """Multi-resolution hash encoding of positions in [0, 1]^3 — TPU layout.
+
+    All intermediates are (N, num_levels*8) — lane-dim exactly 128 for the
+    reference config — gathers hit a flat 1-D table (no lane padding), and
+    the 8-corner reduction is an MXU matmul against a 0/1 level-selection
+    matrix.
+
+    Args:
+        table: (table_size, features_per_level) parameter array.
+        positions: (..., 3) in [0, 1].
+
+    Returns:
+        (..., num_levels * features_per_level) interpolated features.
+    """
+    batch_shape = positions.shape[:-1]
+    pos = positions.reshape(-1, 3).astype(jnp.float32)  # (N, 3)
+    n = pos.shape[0]
+    L = config.num_levels
+    F = config.features_per_level
+    lane = _lane_constants(config)
+
+    px, py, pz = pos[:, 0:1], pos[:, 1:2], pos[:, 2:3]  # (N, 1)
+    cx, wx = _lane_axis(px, "ox", lane)
+    cy, wy = _lane_axis(py, "oy", lane)
+    cz, wz = _lane_axis(pz, "oz", lane)
+
+    res_u = jnp.asarray(lane["res"]).astype(jnp.uint32)
+    cxu, cyu, czu = cx.astype(jnp.uint32), cy.astype(jnp.uint32), cz.astype(jnp.uint32)
+    dense_idx = cxu + cyu * res_u + czu * res_u * res_u
+    hashed_idx = (
+        cxu * np.uint32(_HASH_PRIMES[0])
+        ^ cyu * np.uint32(_HASH_PRIMES[1])
+        ^ czu * np.uint32(_HASH_PRIMES[2])
+    )
+    size_u = jnp.asarray(lane["size"])
+    idx = jnp.where(jnp.asarray(lane["dense"]), dense_idx % size_u, hashed_idx % size_u)
+    idx = idx.astype(jnp.int32) + jnp.asarray(lane["offset"])  # (N, lanes)
+
+    weights = (wx * wy * wz).astype(table.dtype)  # (N, lanes)
+    reduce_mat = jnp.asarray(lane["reduce"], dtype=jnp.float32)  # (lanes, L)
+
+    flat = table.reshape(-1)  # (T*F,) feature-interleaved
+    flat_idx = idx * F  # lane-aligned base offset per corner
+    outs = []
+    for f in range(F):
+        feats = jnp.take(flat, (flat_idx + f).reshape(-1), axis=0).reshape(n, -1)
+        weighted = (feats * weights).astype(jnp.float32)
+        outs.append(
+            jnp.dot(weighted, reduce_mat, preferred_element_type=jnp.float32)
+        )  # (N, L)
+    out = jnp.stack(outs, axis=-1)  # (N, L, F)
+    return out.reshape(*batch_shape, config.output_dim).astype(table.dtype)

@@ -133,18 +133,29 @@ def march_rays(
     positions = origins[:, None, :] + directions[:, None, :] * mids[..., None]
     occupied = query_occupancy(binaries, positions, occ_config) & in_range
 
-    # Keep the first S occupied candidates in marching order: encode order in
-    # an integer key (earlier candidate -> larger key) and take top_k.
+    # Budgeted compaction to S samples per ray. When a ray has more occupied
+    # candidates than the budget, taking the *first* S would truncate the ray
+    # (early training: the grid is dense, so samples would never reach the
+    # surface). Instead keep an evenly-strided subset spanning the whole
+    # occupied range and scale each kept dt by count/S so optical depth is
+    # conserved — coarse but unbiased quadrature that converges to exact
+    # marching once occupancy prunes below the budget.
     M = march.num_candidates
     S = march.num_samples
-    order_key = jnp.where(
-        occupied, M - jnp.arange(M, dtype=jnp.int32)[None, :], 0
-    )
+    count = jnp.sum(occupied, axis=-1, keepdims=True)  # (R, 1)
+    rank = jnp.cumsum(occupied, axis=-1) - 1  # rank among occupied, valid where occupied
+    denom = jnp.maximum(count, 1)
+    bucket = (rank * S) // denom
+    prev_bucket = ((rank - 1) * S) // denom
+    keep = occupied & ((bucket != prev_bucket) | (rank == 0))
+    dt_scale = jnp.maximum(count.astype(jnp.float32) / S, 1.0)  # (R, 1)
+
+    order_key = jnp.where(keep, M - jnp.arange(M, dtype=jnp.int32)[None, :], 0)
     key_top, idx = jax.lax.top_k(order_key, S)  # descending -> ascending candidate idx
     valid = key_top > 0
 
     t_starts = jnp.take_along_axis(ts, idx, axis=1)
-    dt_sel = jnp.take_along_axis(dts, idx, axis=1)
+    dt_sel = jnp.take_along_axis(dts, idx, axis=1) * dt_scale
     t_ends = t_starts + dt_sel
     t_starts = jnp.where(valid, t_starts, 0.0)
     t_ends = jnp.where(valid, t_ends, 0.0)

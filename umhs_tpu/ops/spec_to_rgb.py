@@ -130,6 +130,15 @@ def srgb_gamma(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def srgb_gamma_np(x: np.ndarray) -> np.ndarray:
+    """Numpy twin of srgb_gamma for host-side data prep."""
+    return np.where(
+        x < 0.0031308,
+        12.92 * x,
+        1.055 * np.power(np.clip(x, 1e-6, None), 1.0 / 2.4) - 0.055,
+    )
+
+
 class ColourSystem:
     """Callable spectrum->RGB converter. The matrix is a baked constant.
 
