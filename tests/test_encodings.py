@@ -146,3 +146,47 @@ class TestHashEncodingLaneLayout:
         a = np.asarray(hash_encode(table, x, cfg))
         b = np.asarray(hash_encode_reference(table, x, cfg))
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-8)
+
+    def test_custom_vjp_matches_autodiff(self):
+        """The width-1 scatter backward must equal autodiff of the reference."""
+        from umhs_tpu.ops.encodings import hash_encode_reference
+
+        cfg = TestHashEncoding.CFG
+        table = init_hash_table(jax.random.PRNGKey(12), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(13), (29, 3))
+        cot = jax.random.normal(jax.random.PRNGKey(14), (29, cfg.output_dim))
+
+        g_prod = jax.grad(lambda t: jnp.sum(hash_encode(t, x, cfg) * cot))(table)
+        g_ref = jax.grad(lambda t: jnp.sum(hash_encode_reference(t, x, cfg) * cot))(
+            table
+        )
+        np.testing.assert_allclose(np.asarray(g_prod), np.asarray(g_ref), rtol=1e-4, atol=1e-7)
+
+    def test_stochastic_grad_unbiased_support(self):
+        """Stochastic one-corner backward: per-level gradient mass must equal
+        the dense backward's (each sample deposits exactly g at one corner),
+        and its support must be a subset of the dense gradient's support."""
+        import dataclasses
+
+        from umhs_tpu.ops.encodings import hash_encode_reference
+
+        cfg = dataclasses.replace(TestHashEncoding.CFG, stochastic_grad=True)
+        cfg_dense = TestHashEncoding.CFG
+        table = init_hash_table(jax.random.PRNGKey(20), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(21), (64, 3))
+        cot = jax.random.normal(jax.random.PRNGKey(22), (64, cfg.output_dim))
+
+        g_sto = jax.grad(lambda t: jnp.sum(hash_encode(t, x, cfg) * cot))(table)
+        g_dense = jax.grad(lambda t: jnp.sum(hash_encode(t, x, cfg_dense) * cot))(
+            table
+        )
+        # total gradient mass per feature column is preserved exactly
+        np.testing.assert_allclose(
+            np.asarray(g_sto.sum(axis=0)), np.asarray(g_dense.sum(axis=0)), rtol=1e-4
+        )
+        # support subset: stochastic touches only rows the dense grad touches
+        sto_rows = np.unique(np.nonzero(np.asarray(g_sto))[0])
+        dense_rows = set(np.unique(np.nonzero(np.asarray(g_dense))[0]).tolist())
+        assert all(r in dense_rows for r in sto_rows)
+        # and strictly fewer rows (one corner instead of eight)
+        assert len(sto_rows) < len(dense_rows)

@@ -117,3 +117,43 @@ def test_march_jittable():
     f = jax.jit(lambda b, o, d: march_rays(b, OCC, MARCH, o, d))
     out = f(s["binaries"], jnp.array([[-3.0, 0.0, 0.0]]), jnp.array([[1.0, 0.0, 0.0]]))
     assert out["t_starts"].shape == (1, 32)
+
+
+def test_occ_subsampled_march_matches_fine():
+    """Cell-granular occupancy (occ_subsamples=4) must cover the same region
+    as per-step queries on a fully occupied grid."""
+    s = mark_all_occupied(init_occ_state(OCC))
+    o = jnp.array([[-3.0, 0.0, 0.0]])
+    d = jnp.array([[1.0, 0.0, 0.0]])
+    fine = MarchConfig(num_candidates=256, num_samples=32, render_step_size=0.02,
+                       cone_angle=0.0, near_plane=0.05, far_plane=100.0)
+    sub = MarchConfig(num_candidates=256, num_samples=32, render_step_size=0.02,
+                      cone_angle=0.0, near_plane=0.05, far_plane=100.0,
+                      occ_subsamples=4)
+    a = march_rays(s["binaries"], OCC, fine, o, d)
+    b = march_rays(s["binaries"], OCC, sub, o, d)
+    # both saturate the budget starting at grid entry (t=1)
+    assert int(a["num_samples"][0]) == 32
+    assert int(b["num_samples"][0]) == 32
+    np.testing.assert_allclose(float(b["t_starts"][0, 0]), 1.0, atol=0.03)
+    # fine intervals are contiguous within each coarse interval
+    ts = np.asarray(b["t_starts"][0])
+    te = np.asarray(b["t_ends"][0])
+    np.testing.assert_allclose(te[0:3], ts[1:4], rtol=1e-5)
+
+
+def test_occ_subsampled_skips_empty():
+    cfg = OccGridConfig(resolution=32, levels=1)
+    dens = lambda x: jnp.where(jnp.linalg.norm(x, axis=-1) < 0.25, 100.0, 0.0)
+    s = init_occ_state(cfg)
+    s = update_occ_state(s, cfg, dens, 0.02, jax.random.PRNGKey(0), full=True)
+    o = jnp.array([[-2.0, 0.0, 0.0]])
+    d = jnp.array([[1.0, 0.0, 0.0]])
+    march = MarchConfig(num_candidates=512, num_samples=64, render_step_size=0.01,
+                        cone_angle=0.0, near_plane=0.05, far_plane=10.0,
+                        occ_subsamples=4)
+    out = march_rays(s["binaries"], cfg, march, o, d)
+    n = int(out["num_samples"][0])
+    assert n > 0 and n % 4 == 0
+    ts = np.asarray(out["t_starts"][0, :n])
+    assert ts.min() > 1.55 and ts.max() < 2.5

@@ -54,17 +54,17 @@ class HyperspectralDataset:
         hs_files = outputs.metadata.get("hs_filenames")
         self.hs_images: Optional[np.ndarray] = None
         if hs_files:
-            cubes = []
-            for i, p in enumerate(hs_files):
-                cube = np.clip(np.load(p).astype(np.float32), 0.0, 1.0)
-                if compute_vca and i == 0 and not os.path.exists(vca_cache):
-                    try:
-                        em = vca_endmembers_from_cube(cube, self.num_classes)
-                        np.save(vca_cache, em)
-                    except Exception:
-                        pass  # mirror reference: fall back to random init
-                cubes.append(cube)
-            self.hs_images = np.stack(cubes)
+            from ..native import parallel_load_cubes
+
+            first = np.clip(np.load(hs_files[0]).astype(np.float32), 0.0, 1.0)
+            if compute_vca and not os.path.exists(vca_cache):
+                try:
+                    em = vca_endmembers_from_cube(first, self.num_classes)
+                    np.save(vca_cache, em)
+                except Exception:
+                    pass  # mirror reference: fall back to random init
+            # multithreaded native staging (gigabytes for 141-band scenes)
+            self.hs_images = parallel_load_cubes(hs_files, first.shape)
 
         seg_files = outputs.metadata.get("seg_filenames")
         self.seg_images: Optional[np.ndarray] = None

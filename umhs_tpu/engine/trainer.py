@@ -120,6 +120,7 @@ class Trainer:
         self._train_step_fn = None
         self._forward_fn = None
         self.step = 0
+        self._last_n = 0
 
     # ------------------------------------------------------------------
     @property
@@ -208,7 +209,30 @@ class Trainer:
             }
             return new_state, metrics
 
-        return jax.jit(train_step, donate_argnums=(0,))
+        return train_step
+
+    def _build_train_chunk(self, num_steps: int):
+        """`num_steps` train steps fused into ONE dispatch via lax.scan.
+
+        A host-side step loop pays a full client->relay->TPU dispatch round
+        trip per iteration (hundreds of ms through the remote tunnel, and
+        real overhead even on directly-attached chips). Scanning the step on
+        device makes dispatch cost amortise to ~0. Metrics from the last
+        step of the chunk are returned (matching the reference's
+        steps_per_log-style sampling of train metrics).
+        """
+        step_fn = self._build_train_step()
+
+        def chunk(state, data, cam):
+            def body(st, _):
+                st, metrics = step_fn(st, data, cam)
+                return st, None
+
+            state, _ = jax.lax.scan(body, state, None, length=num_steps - 1)
+            state, metrics = step_fn(state, data, cam)
+            return state, metrics
+
+        return jax.jit(chunk, donate_argnums=(0,))
 
     def _build_occ_update(self):
         model = self.model
@@ -232,12 +256,25 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train(self, num_iterations: Optional[int] = None) -> Dict[str, float]:
-        """Run the training loop; returns the last logged metrics."""
-        if self._train_step_fn is None:
-            self._train_step_fn = self._build_train_step()
-            self._occ_update_fn = self._build_occ_update()
+        """Run the training loop; returns the last logged metrics.
+
+        Structure: the host loop advances in chunks of the occupancy-update
+        interval (16 steps) — each chunk is one device dispatch (lax.scan) —
+        with the occupancy EMA update between chunks. Periodic actions
+        (logging, endmember dump, eval, save) fire at the first chunk
+        boundary at/after their nominal schedule.
+        """
         cfg = self.config
+        interval = self.model.occ_config.update_interval
+        if self._train_step_fn is None:
+            self._train_step_fn = self._build_train_chunk(interval)
+            self._occ_update_fn = self._build_occ_update()
+            self._chunk_fns = {interval: self._train_step_fn}
         total_iters = num_iterations or cfg.max_num_iterations
+
+        def crossed(period: int) -> bool:
+            """True when a multiple of `period` lies in (step - last_n, step]."""
+            return (self.step // period) > ((self.step - self._last_n) // period)
 
         last_metrics: Dict[str, float] = {}
         t_start = time.time()
@@ -253,13 +290,17 @@ class Trainer:
                     self.state["occ"], self.state["params"], step, full
                 )
 
-            self.state, metrics = self._train_step_fn(
+            n = min(interval - (step % interval), total_iters - step)
+            if n not in self._chunk_fns:
+                self._chunk_fns[n] = self._build_train_chunk(n)
+            self.state, metrics = self._chunk_fns[n](
                 self.state, self.train_data, self.train_cam
             )
-            self.step += 1
-            window_steps += 1
+            self.step += n
+            self._last_n = n
+            window_steps += n
 
-            if self.step % cfg.steps_per_log == 0 or self.step == total_iters:
+            if crossed(cfg.steps_per_log) or self.step == total_iters:
                 metrics = {k2: float(v) for k2, v in metrics.items()}
                 dt = time.time() - window_t0
                 metrics["rays_per_sec"] = rays_per_step * window_steps / dt
@@ -269,17 +310,14 @@ class Trainer:
                 last_metrics = metrics
 
             # endmember side-channel dump (reference umhs_model.py:571-572)
-            if (
-                self.step % 100 == 0
-                and "endmembers" in self.state["params"]
-            ):
+            if crossed(100) and "endmembers" in self.state["params"]:
                 np.save("endmembers.npy", np.asarray(self.state["params"]["endmembers"]))
 
-            if self.step % cfg.steps_per_eval_batch == 0:
+            if crossed(cfg.steps_per_eval_batch) and self.step < total_iters:
                 ev = self.eval_batch()
                 self.writer.write(self.step, {f"eval/{k}": v for k, v in ev.items()})
 
-            if self.step % cfg.steps_per_save == 0 or self.step == total_iters:
+            if crossed(cfg.steps_per_save) or self.step == total_iters:
                 self.save_checkpoint()
 
         last_metrics["total_train_time_s"] = time.time() - t_start

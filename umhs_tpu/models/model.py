@@ -82,8 +82,10 @@ class ModelConfig:
     # TPU static-shape marching budget (replaces nerfacc's dynamic packing)
     num_candidates: int = 1024
     max_samples_per_ray: int = 96
+    occ_subsamples: int = 4  # fine steps per occupancy query (~cell size)
     early_stop_eps: float = 1e-4
     compute_dtype: str = "float32"  # or "bfloat16"
+    stochastic_hash_grad: bool = True  # one-corner gradient splatting
 
 
 def _grad_scale(x: jnp.ndarray, scaling: jnp.ndarray) -> jnp.ndarray:
@@ -131,6 +133,7 @@ class UMHSModel:
             cone_angle=config.cone_angle,
             near_plane=config.near_plane,
             far_plane=config.far_plane,
+            occ_subsamples=config.occ_subsamples,
         )
         self.field_config = FieldConfig(
             method=config.method,
@@ -146,6 +149,7 @@ class UMHSModel:
             hash=HashEncodingConfig(
                 log2_hashmap_size=config.log2_hashmap_size,
                 max_resolution=config.max_res,
+                stochastic_grad=config.stochastic_hash_grad,
             ),
             compute_dtype=jnp.bfloat16
             if config.compute_dtype == "bfloat16"

@@ -21,6 +21,7 @@ last dim static (3 for positions/directions).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Sequence
 
@@ -102,6 +103,11 @@ class HashEncodingConfig:
     log2_hashmap_size: int = 19
     base_resolution: int = 16
     max_resolution: int = 2048
+    # Backward-pass variant: instead of splatting each sample's gradient to
+    # all 8 trilinear corners, pick ONE corner per (sample, level) with
+    # probability equal to its interpolation weight (unbiased) — 8x fewer
+    # scatter-adds, the dominant training cost on TPU (XLA scatter ~9ns/elem).
+    stochastic_grad: bool = False
 
     @property
     def growth_factor(self) -> float:
@@ -157,10 +163,17 @@ class HashEncodingConfig:
 def init_hash_table(
     key: jax.Array, config: HashEncodingConfig, dtype=jnp.float32
 ) -> jnp.ndarray:
-    """Uniform(-1e-4, 1e-4) init, as in Instant-NGP."""
+    """Uniform(-1e-4, 1e-4) init, as in Instant-NGP.
+
+    The table is stored FLAT (table_size * features_per_level,), feature-
+    interleaved. A (T, F) parameter with tiny minor dim would be tile-padded
+    64x by XLA whenever it is copied into a loop-carry layout (observed:
+    three 2.91 GB copies — the param + both Adam moments — OOMing the chip);
+    1-D arrays never pad.
+    """
     return jax.random.uniform(
         key,
-        (config.table_size, config.features_per_level),
+        (config.table_size * config.features_per_level,),
         minval=-1e-4,
         maxval=1e-4,
         dtype=dtype,
@@ -185,6 +198,7 @@ def hash_encode_reference(
     """Readable reference implementation (small (..., L, 8, 3) intermediates —
     fine on CPU, pathological layouts on TPU). Used as the golden value in
     unit tests; production path is `hash_encode` below."""
+    table = table.reshape(config.table_size, config.features_per_level)
     batch_shape = positions.shape[:-1]
     pos = positions.reshape(-1, 3).astype(jnp.float32)  # (N, 3)
     n = pos.shape[0]
@@ -280,30 +294,9 @@ def _lane_axis(p, o_key, lane):
     return coord, weight
 
 
-def hash_encode(
-    table: jnp.ndarray, positions: jnp.ndarray, config: HashEncodingConfig
-) -> jnp.ndarray:
-    """Multi-resolution hash encoding of positions in [0, 1]^3 — TPU layout.
-
-    All intermediates are (N, num_levels*8) — lane-dim exactly 128 for the
-    reference config — gathers hit a flat 1-D table (no lane padding), and
-    the 8-corner reduction is an MXU matmul against a 0/1 level-selection
-    matrix.
-
-    Args:
-        table: (table_size, features_per_level) parameter array.
-        positions: (..., 3) in [0, 1].
-
-    Returns:
-        (..., num_levels * features_per_level) interpolated features.
-    """
-    batch_shape = positions.shape[:-1]
-    pos = positions.reshape(-1, 3).astype(jnp.float32)  # (N, 3)
-    n = pos.shape[0]
-    L = config.num_levels
-    F = config.features_per_level
+def _lane_indices_weights(pos: jnp.ndarray, config: HashEncodingConfig):
+    """Corner table indices + trilinear weights in the (N, lanes) layout."""
     lane = _lane_constants(config)
-
     px, py, pz = pos[:, 0:1], pos[:, 1:2], pos[:, 2:3]  # (N, 1)
     cx, wx = _lane_axis(px, "ox", lane)
     cy, wy = _lane_axis(py, "oy", lane)
@@ -320,18 +313,159 @@ def hash_encode(
     size_u = jnp.asarray(lane["size"])
     idx = jnp.where(jnp.asarray(lane["dense"]), dense_idx % size_u, hashed_idx % size_u)
     idx = idx.astype(jnp.int32) + jnp.asarray(lane["offset"])  # (N, lanes)
+    weights = wx * wy * wz  # (N, lanes) f32
+    return idx, weights, lane
 
-    weights = (wx * wy * wz).astype(table.dtype)  # (N, lanes)
+
+def _hash_encode_impl(table, pos, config: HashEncodingConfig):
+    n = pos.shape[0]
+    F = config.features_per_level
+    idx, weights, lane = _lane_indices_weights(pos, config)
+    weights = weights.astype(table.dtype)
     reduce_mat = jnp.asarray(lane["reduce"], dtype=jnp.float32)  # (lanes, L)
 
-    flat = table.reshape(-1)  # (T*F,) feature-interleaved
-    flat_idx = idx * F  # lane-aligned base offset per corner
+    # ONE row gather for all features: measured 2.8x faster than F separate
+    # flat gathers on TPU v5e (XLA row-gather cost is ~per row, not per
+    # element, up to ~8 f32 of width). The table is flat 1-D; width-F slices
+    # are gathered directly so no padded 2-D operand ever materialises.
+    flat = table.reshape(-1)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+    )
+    rows = jax.lax.gather(
+        flat,
+        (idx.reshape(-1) * F)[:, None],
+        dn,
+        slice_sizes=(F,),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )  # (N*lanes, F)
     outs = []
     for f in range(F):
-        feats = jnp.take(flat, (flat_idx + f).reshape(-1), axis=0).reshape(n, -1)
+        feats = rows[:, f].reshape(n, -1)
         weighted = (feats * weights).astype(jnp.float32)
         outs.append(
             jnp.dot(weighted, reduce_mat, preferred_element_type=jnp.float32)
         )  # (N, L)
     out = jnp.stack(outs, axis=-1)  # (N, L, F)
-    return out.reshape(*batch_shape, config.output_dim).astype(table.dtype)
+    return out.reshape(n, config.output_dim).astype(table.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _hash_encode_vjp(table, pos, config: HashEncodingConfig):
+    return _hash_encode_impl(table, pos, config)
+
+
+def _hash_encode_fwd(table, pos, config):
+    # Residuals: positions only; indices/weights are cheap VPU math to
+    # recompute and would otherwise hold 2x (N, 128) arrays alive. The table
+    # shape/dtype are static (derivable from config; tables are float32).
+    return _hash_encode_impl(table, pos, config), pos
+
+
+def _hash_encode_bwd(config, res, g):
+    """Backward: dL/dtable = scatter-add of (corner weight x upstream grad).
+
+    Measured on TPU v5e: XLA scatter-add runs ~5x faster for width-1 rows
+    (one flat element per index) than for multi-feature rows, so the F
+    feature columns are scattered as F independent flat width-1 scatter-adds
+    into the feature-interleaved flat table.
+    """
+    pos = res
+    n = pos.shape[0]
+    L, F = config.num_levels, config.features_per_level
+    idx, weights, lane = _lane_indices_weights(pos, config)
+
+    g = g.reshape(n, L, F).astype(jnp.float32)
+    flat_size = config.table_size * F
+    grad_flat = jnp.zeros((flat_size,), dtype=jnp.float32)
+
+    if config.stochastic_grad:
+        # One corner per (sample, level), chosen with probability equal to
+        # its trilinear weight (weights within a level sum to 1) — an
+        # unbiased estimator with 8x fewer scatter elements. The uniform
+        # variate is a shader-style position hash: stratified ray jitter
+        # re-randomises it every step.
+        assert config.table_size < (1 << 24), (
+            "stochastic_grad selects indices through f32 matmuls; table too large"
+        )
+        lanes = L * 8
+        u = jnp.mod(
+            jnp.sin(pos @ jnp.array([12.9898, 78.233, 37.719])) * 43758.5453,
+            1.0,
+        )  # (N,)
+        u = jnp.mod(
+            u[:, None] + jnp.arange(L, dtype=jnp.float32)[None, :] * 0.6180339887,
+            1.0,
+        )  # (N, L)
+        u_lane = jnp.repeat(u, 8, axis=1)  # (N, lanes)
+
+        # inclusive cumsum of corner weights within each level's 8 lanes,
+        # as an MXU matmul with a block lower-triangular 0/1 matrix
+        li = np.arange(lanes)
+        tri = ((li[:, None] // 8 == li[None, :] // 8) & (li[:, None] <= li[None, :])).astype(
+            np.float32
+        )
+        cumw = jnp.dot(
+            weights,
+            jnp.asarray(tri),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        sel = (u_lane < cumw) & (u_lane >= cumw - weights)
+        # fp guard: if rounding made the level total < u, take the last lane
+        is_last = jnp.asarray((li % 8 == 7)[None, :])
+        sel = sel | (is_last & (u_lane >= cumw))
+        sel_f = sel.astype(jnp.float32)
+
+        group = jnp.asarray(lane["reduce"], dtype=jnp.float32)  # (lanes, L)
+        # Precision.HIGHEST is required: TPU's default matmul precision is
+        # bf16 (8-bit mantissa), which rounds integer-valued indices above
+        # ~1024 and scatters gradients into wrong rows. HIGHEST uses the
+        # exact bf16x-decomposition — one-hot x f32-exact ints stays exact.
+        idx_sel = jnp.dot(
+            idx.astype(jnp.float32) * sel_f,
+            group,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.int32)  # (N, L) — exact: indices < 2^24
+        flat_idx = idx_sel * F
+        for f in range(F):
+            grad_flat = grad_flat.at[(flat_idx + f).reshape(-1)].add(
+                g[:, :, f].reshape(-1)
+            )
+    else:
+        flat_idx = idx * F  # (N, lanes)
+        for f in range(F):
+            # broadcast level grads to corner lanes, apply interp weights
+            g_lane = jnp.repeat(g[:, :, f], 8, axis=1) * weights  # (N, lanes)
+            grad_flat = grad_flat.at[(flat_idx + f).reshape(-1)].add(
+                g_lane.reshape(-1)
+            )
+    return grad_flat, None
+
+
+_hash_encode_vjp.defvjp(_hash_encode_fwd, _hash_encode_bwd)
+
+
+def hash_encode(
+    table: jnp.ndarray, positions: jnp.ndarray, config: HashEncodingConfig
+) -> jnp.ndarray:
+    """Multi-resolution hash encoding of positions in [0, 1]^3 — TPU layout.
+
+    All intermediates are (N, num_levels*8) — lane-dim exactly 128 for the
+    reference config — gathers hit a flat 1-D table (no lane padding), the
+    8-corner reduction is an MXU matmul against a 0/1 level-selection matrix,
+    and the backward pass is a custom VJP using flat width-1 scatter-adds
+    (the fastest XLA:TPU scatter form by a 5x margin).
+
+    Args:
+        table: (table_size, features_per_level) parameter array.
+        positions: (..., 3) in [0, 1].
+
+    Returns:
+        (..., num_levels * features_per_level) interpolated features.
+    """
+    batch_shape = positions.shape[:-1]
+    pos = positions.reshape(-1, 3).astype(jnp.float32)
+    out = _hash_encode_vjp(table, pos, config)
+    return out.reshape(*batch_shape, config.output_dim)

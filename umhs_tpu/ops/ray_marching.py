@@ -43,6 +43,21 @@ class MarchConfig:
     cone_angle: float = 0.004
     near_plane: float = 0.05
     far_plane: float = 1.0e3
+    # Occupancy is queried once per `occ_subsamples` fine steps (~once per
+    # grid cell: nerfacc's DDA also decides occupancy per cell, then samples
+    # every render_step_size inside occupied cells). Cuts the dominant
+    # march cost — random bitfield gathers — by this factor.
+    occ_subsamples: int = 1
+
+    @property
+    def coarse_candidates(self) -> int:
+        assert self.num_candidates % max(self.occ_subsamples, 1) == 0
+        return self.num_candidates // max(self.occ_subsamples, 1)
+
+    @property
+    def coarse_samples(self) -> int:
+        assert self.num_samples % max(self.occ_subsamples, 1) == 0
+        return self.num_samples // max(self.occ_subsamples, 1)
 
 
 def ray_aabb_intersect(
@@ -126,39 +141,75 @@ def march_rays(
         jitter = jax.random.uniform(rng, t0.shape)
         t0 = t0 + jitter * march.render_step_size
 
-    ts, dts = candidate_ts(t0, march)  # (R, M)
+    # march at occupancy-cell granularity: one query per coarse interval,
+    # `occ_subsamples` fine sample intervals inside each occupied one
+    k = max(march.occ_subsamples, 1)
+    coarse = dataclasses.replace(
+        march,
+        num_candidates=march.coarse_candidates,
+        num_samples=march.coarse_samples,
+        render_step_size=march.render_step_size * k,
+        cone_angle=march.cone_angle * k,
+    )
+    ts, dts = candidate_ts(t0, coarse)  # (R, Mc)
     in_range = ts < t_max[:, None]
 
     mids = ts + dts / 2.0
     positions = origins[:, None, :] + directions[:, None, :] * mids[..., None]
     occupied = query_occupancy(binaries, positions, occ_config) & in_range
+    march = coarse
 
     # Budgeted compaction to S samples per ray. When a ray has more occupied
     # candidates than the budget, taking the *first* S would truncate the ray
     # (early training: the grid is dense, so samples would never reach the
-    # surface). Instead keep an evenly-strided subset spanning the whole
+    # surface). Instead select an evenly-strided subset spanning the whole
     # occupied range and scale each kept dt by count/S so optical depth is
     # conserved — coarse but unbiased quadrature that converges to exact
     # marching once occupancy prunes below the budget.
+    #
+    # Selection is a vectorised binary search over the running occupancy
+    # count: the s-th output sample is the candidate holding occupied-rank
+    # target(s). This replaces a top_k (full (R, M) sort — slow on the TPU's
+    # bitonic sort path) with log2(M) rounds of take_along_axis gathers.
     M = march.num_candidates
     S = march.num_samples
-    count = jnp.sum(occupied, axis=-1, keepdims=True)  # (R, 1)
-    rank = jnp.cumsum(occupied, axis=-1) - 1  # rank among occupied, valid where occupied
-    denom = jnp.maximum(count, 1)
-    bucket = (rank * S) // denom
-    prev_bucket = ((rank - 1) * S) // denom
-    keep = occupied & ((bucket != prev_bucket) | (rank == 0))
+    cum = jnp.cumsum(occupied.astype(jnp.int32), axis=-1)  # (R, M)
+    count = cum[:, -1:]  # (R, 1)
+    slot = jnp.arange(S, dtype=jnp.int32)[None, :]  # (1, S)
+    # target occupied rank per output slot (0-based): strided when over budget
+    rank = jnp.where(count > S, (slot * count) // S, slot)  # (R, S)
+    valid = slot < jnp.minimum(count, S)
+    # first candidate index whose cumulative count reaches rank+1
+    lo = jnp.zeros((occupied.shape[0], S), dtype=jnp.int32)
+    hi = jnp.full((occupied.shape[0], S), M, dtype=jnp.int32)
+    target = rank + 1
+    for _ in range(M.bit_length()):
+        mid = (lo + hi) // 2
+        mid_val = jnp.take_along_axis(cum, jnp.minimum(mid, M - 1), axis=1)
+        go_right = mid_val < target
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    idx = jnp.minimum(lo, M - 1)  # (R, S)
     dt_scale = jnp.maximum(count.astype(jnp.float32) / S, 1.0)  # (R, 1)
-
-    order_key = jnp.where(keep, M - jnp.arange(M, dtype=jnp.int32)[None, :], 0)
-    key_top, idx = jax.lax.top_k(order_key, S)  # descending -> ascending candidate idx
-    valid = key_top > 0
 
     t_starts = jnp.take_along_axis(ts, idx, axis=1)
     dt_sel = jnp.take_along_axis(dts, idx, axis=1) * dt_scale
-    t_ends = t_starts + dt_sel
     t_starts = jnp.where(valid, t_starts, 0.0)
-    t_ends = jnp.where(valid, t_ends, 0.0)
+    dt_sel = jnp.where(valid, dt_sel, 0.0)
+
+    if k > 1:
+        # expand each selected coarse interval into k fine sample intervals
+        R = t_starts.shape[0]
+        sub = jnp.arange(k, dtype=jnp.float32)[None, None, :]  # (1, 1, k)
+        dt_fine = (dt_sel / k)[:, :, None]  # (R, Sc, 1)
+        t_f = t_starts[:, :, None] + sub * dt_fine  # (R, Sc, k)
+        t_starts = t_f.reshape(R, -1)
+        t_ends = (t_f + dt_fine).reshape(R, -1)
+        valid = jnp.repeat(valid, k, axis=1)
+        t_starts = jnp.where(valid, t_starts, 0.0)
+        t_ends = jnp.where(valid, t_ends, 0.0)
+    else:
+        t_ends = t_starts + dt_sel
 
     return {
         "t_starts": t_starts,
