@@ -115,3 +115,22 @@ def test_checkpoint_roundtrip(scene_dir, tmp_path, monkeypatch):
         atol=1e-7,
     )
     assert abs(trainer2.eval_batch()["psnr"] - ref_psnr) < 1e-3
+
+
+def test_dynamic_batch_adaptation(scene_dir, tmp_path, monkeypatch):
+    """The trainer must resize (rays, samples/ray) at the adapt boundary and
+    keep training correctly afterwards."""
+    monkeypatch.chdir(tmp_path)
+    trainer = _trainer(scene_dir, tmp_path, method="rgb", iters=96)
+    import dataclasses as dc
+
+    trainer.config = dc.replace(
+        trainer.config, dynamic_batching=True, adapt_steps=(48,), target_num_samples=8192
+    )
+    trainer.setup()
+    trainer.train()
+    # after adaptation the dynamic ray count differs from the static config
+    assert trainer._dyn_rays != trainer.datamanager.config.train_num_rays_per_batch
+    assert trainer._dyn_march.num_samples <= trainer.model.march_config.num_samples
+    m = trainer.eval_batch()
+    assert np.isfinite(m["psnr"]) and m["psnr"] > 10

@@ -64,6 +64,16 @@ class TrainerConfig:
     vis: str = "console"  # console | tensorboard | wandb (comma-separable)
     load_dir: Optional[Path] = None
     load_step: Optional[int] = None
+    eval_seg_dump_dir: Optional[Path] = None  # reference dumps seg_pred PNGs
+    # Dynamic batch sizing (the reference's DynamicBatchPipeline semantics,
+    # umhs_pipeline.py:47-50 commented target_num_samples=1<<18): once the
+    # occupancy grid converges, mean samples/ray collapses (~64 -> ~16); the
+    # trainer then shrinks the padded per-ray sample budget and grows the ray
+    # batch to keep ~target_num_samples per step — cutting the static-shape
+    # padding waste that a CUDA packed layout never pays.
+    dynamic_batching: bool = True
+    target_num_samples: int = 1 << 18
+    adapt_steps: Tuple[int, ...] = (512, 2048)
     optimizer: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
 
 
@@ -165,10 +175,10 @@ class Trainer:
         return self
 
     # ------------------------------------------------------------------
-    def _build_train_step(self):
+    def _build_train_step(self, batch_size: Optional[int] = None, march_cfg=None):
         model = self.model
         optimizer = self.optimizer
-        batch_size = self.datamanager.config.train_num_rays_per_batch
+        batch_size = batch_size or self.datamanager.config.train_num_rays_per_batch
         mesh = self.mesh
 
         def train_step(state, data, cam):
@@ -183,7 +193,8 @@ class Trainer:
 
             def loss_fn(params):
                 outputs = model.forward(
-                    params, state["occ"], rays, rng=k_march, train=True
+                    params, state["occ"], rays, rng=k_march, train=True,
+                    march_config=march_cfg,
                 )
                 loss_dict = model.loss(outputs, batch, k_bg, step=state["step"])
                 return sum(loss_dict.values()), (loss_dict, outputs)
@@ -211,7 +222,8 @@ class Trainer:
 
         return train_step
 
-    def _build_train_chunk(self, num_steps: int):
+    def _build_train_chunk(self, num_steps: int, batch_size: Optional[int] = None,
+                           march_cfg=None):
         """`num_steps` train steps fused into ONE dispatch via lax.scan.
 
         A host-side step loop pays a full client->relay->TPU dispatch round
@@ -221,7 +233,7 @@ class Trainer:
         step of the chunk are returned (matching the reference's
         steps_per_log-style sampling of train metrics).
         """
-        step_fn = self._build_train_step()
+        step_fn = self._build_train_step(batch_size, march_cfg)
 
         def chunk(state, data, cam):
             def body(st, _):
@@ -267,9 +279,11 @@ class Trainer:
         cfg = self.config
         interval = self.model.occ_config.update_interval
         if self._train_step_fn is None:
-            self._train_step_fn = self._build_train_chunk(interval)
             self._occ_update_fn = self._build_occ_update()
-            self._chunk_fns = {interval: self._train_step_fn}
+            self._chunk_fns = {}
+            self._dyn_rays = self.datamanager.config.train_num_rays_per_batch
+            self._dyn_march = self.model.march_config
+            self._train_step_fn = True  # built lazily per (n, rays, march)
         total_iters = num_iterations or cfg.max_num_iterations
 
         def crossed(period: int) -> bool:
@@ -278,8 +292,7 @@ class Trainer:
 
         last_metrics: Dict[str, float] = {}
         t_start = time.time()
-        rays_per_step = self.datamanager.config.train_num_rays_per_batch
-        window_t0, window_steps = time.time(), 0
+        window_t0, window_steps, window_rays = time.time(), 0, 0
 
         while self.step < total_iters:
             step = self.step
@@ -291,21 +304,32 @@ class Trainer:
                 )
 
             n = min(interval - (step % interval), total_iters - step)
-            if n not in self._chunk_fns:
-                self._chunk_fns[n] = self._build_train_chunk(n)
-            self.state, metrics = self._chunk_fns[n](
+            key = (n, self._dyn_rays, self._dyn_march.num_samples)
+            if key not in self._chunk_fns:
+                self._chunk_fns[key] = self._build_train_chunk(
+                    n, self._dyn_rays, self._dyn_march
+                )
+            self.state, metrics = self._chunk_fns[key](
                 self.state, self.train_data, self.train_cam
             )
             self.step += n
             self._last_n = n
             window_steps += n
+            window_rays += n * self._dyn_rays
+
+            # dynamic batch adaptation at scheduled one-shot boundaries
+            if cfg.dynamic_batching and any(
+                self.step - self._last_n < s <= self.step for s in cfg.adapt_steps
+            ):
+                self._adapt_batch(float(metrics["num_samples_per_batch"]))
 
             if crossed(cfg.steps_per_log) or self.step == total_iters:
                 metrics = {k2: float(v) for k2, v in metrics.items()}
                 dt = time.time() - window_t0
-                metrics["rays_per_sec"] = rays_per_step * window_steps / dt
+                metrics["rays_per_sec"] = window_rays / dt
                 metrics["steps_per_sec"] = window_steps / dt
-                window_t0, window_steps = time.time(), 0
+                metrics["rays_per_batch"] = self._dyn_rays
+                window_t0, window_steps, window_rays = time.time(), 0, 0
                 self.writer.write(self.step, metrics)
                 last_metrics = metrics
 
@@ -322,6 +346,37 @@ class Trainer:
 
         last_metrics["total_train_time_s"] = time.time() - t_start
         return last_metrics
+
+    def _adapt_batch(self, samples_per_batch: float) -> None:
+        """Resize (rays, samples-per-ray) to the measured occupancy.
+
+        mean samples/ray after grid convergence is far below the static pad;
+        pick S' with ~3x headroom over the mean (the marcher's stride
+        subsample absorbs tail rays losslessly in optical depth) and R' to
+        hit ~target_num_samples of *useful* field evaluations per step.
+        """
+        import dataclasses as dc
+
+        cfg = self.config
+        mean_spr = max(samples_per_batch / max(self._dyn_rays, 1), 1.0)
+        osub = max(self._dyn_march.occ_subsamples, 1)
+        s0 = self.model.march_config.num_samples
+
+        def round_up(x, m):
+            return int(-(-x // m) * m)
+
+        new_s = min(s0, max(2 * osub, round_up(3.0 * mean_spr, osub)))
+        new_r = int(cfg.target_num_samples / max(mean_spr, 1.0))
+        new_r = max(1024, min(1 << 17, (new_r // 256) * 256))
+        if (new_s, new_r) == (self._dyn_march.num_samples, self._dyn_rays):
+            return
+        print(
+            f"[trainer] dynamic batch: mean samples/ray {mean_spr:.1f} -> "
+            f"rays {self._dyn_rays}->{new_r}, samples/ray "
+            f"{self._dyn_march.num_samples}->{new_s}"
+        )
+        self._dyn_rays = new_r
+        self._dyn_march = dc.replace(self._dyn_march, num_samples=new_s)
 
     # ------------------------------------------------------------------
     def eval_batch(self) -> Dict[str, float]:
@@ -400,6 +455,21 @@ class Trainer:
                     "rmse_spectral": float(np.sqrt(np.mean((pred_s - gt_s) ** 2))),
                 }
             )
+            lp = metrics_utils.lpips(pred_rgb, gt_rgb)
+            if lp is not None:
+                m["lpips"] = lp
+            # segmentation PNG dump side-channel (reference writes seg_pred
+            # images during eval, umhs_model.py:495-501) — opt-in directory
+            # instead of the reference's hard-coded ./eval/ajar_final/.
+            if self.config.eval_seg_dump_dir is not None:
+                from PIL import Image
+
+                d = Path(self.config.eval_seg_dump_dir)
+                (d / "color").mkdir(parents=True, exist_ok=True)
+                seg_raw = outputs["seg_raw"][..., 0].astype(np.uint8)
+                Image.fromarray(seg_raw).save(d / f"seg_pred_{idx}.png")
+                color = (np.clip(outputs["seg_pred"], 0, 1) * 255).astype(np.uint8)
+                Image.fromarray(color).save(d / "color" / f"{idx}.png")
         return m
 
     def eval_all_images(self) -> Dict[str, float]:

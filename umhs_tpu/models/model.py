@@ -196,15 +196,20 @@ class UMHSModel:
         rays: Dict[str, jnp.ndarray],
         rng: Optional[jax.Array] = None,
         train: bool = True,
+        march_config: Optional[MarchConfig] = None,
     ) -> Dict[str, jnp.ndarray]:
         """Render a batch of rays.
 
         occ_state: occupancy grid state {"occs", "binaries"}.
         rays: {"origins": (R,3), "directions": (R,3), "camera_indices": (R,)}.
+        march_config: optional override of the static sample budget — used by
+        the trainer's dynamic batch sizing (shrink samples-per-ray once the
+        occupancy grid converges, grow the ray batch to compensate).
         Returns per-ray outputs: accumulation, depth, num_samples, and
         rgb / spectral / spectral2 / specular / abundances / seg_* per method.
         """
         cfg = self.config
+        march_cfg = march_config or self.march_config
         occ_binaries = occ_state["binaries"]
         # nerfacc semantics: effective alpha threshold is
         # min(config.alpha_thre, mean occupancy) -> no filtering early on.
@@ -214,12 +219,12 @@ class UMHSModel:
             "camera_indices", jnp.zeros(o.shape[0], dtype=jnp.int32)
         )
         R = o.shape[0]
-        S = self.march_config.num_samples
+        S = march_cfg.num_samples
 
         march = march_rays(
             occ_binaries,
             self.occ_config,
-            self.march_config,
+            march_cfg,
             o,
             d,
             rng=rng if train else None,
