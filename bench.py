@@ -34,7 +34,10 @@ def main():
     t_setup = time.time()
     import jax
 
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(Path.home() / ".cache" / "jax_comp"))
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        jax.config.update(
+            "jax_compilation_cache_dir", str(Path.home() / ".cache" / "jax_comp")
+        )
     os.chdir(tempfile.mkdtemp(prefix="umhs_bench_"))
 
     from umhs_tpu.data.datamanager import DataManagerConfig

@@ -184,3 +184,75 @@ class TestOccupancySchedule:
         params, occ = model.init(jax.random.PRNGKey(0))
         occ2 = model.update_occupancy(occ, params, jax.random.PRNGKey(1), full=True)
         assert occ2["occs"].shape == occ["occs"].shape
+
+
+class TestCompactSamples:
+    def test_compact_matches_padded(self):
+        """Compact-space forward must equal the padded path when the global
+        budget is not binding."""
+        import dataclasses as dc
+
+        m_pad = _small_model()
+        m_pad = UMHSModel(
+            dc.replace(m_pad.config, compact_samples=False),
+            wavelengths=WL, num_classes=4, num_images=3,
+        )
+        m_cmp = UMHSModel(
+            dc.replace(m_pad.config, compact_samples=True, compact_fraction=1.0),
+            wavelengths=WL, num_classes=4, num_images=3,
+        )
+        params, occ = m_pad.init(jax.random.PRNGKey(0))
+        occ = mark_all_occupied(occ)
+        rays = _rays()
+        rng = jax.random.PRNGKey(1)
+        a = m_pad.forward(params, occ, rays, rng=rng)
+        b = m_cmp.forward(params, occ, rays, rng=rng)
+        for k in ("spectral", "rgb", "accumulation", "depth", "abundances"):
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), rtol=2e-4, atol=2e-5,
+                err_msg=k,
+            )
+
+    def test_budget_scaling_conserves_depth(self):
+        """With a binding global budget, rays get coarser but opacity stays
+        close (optical depth conserved by dt rescaling)."""
+        import dataclasses as dc
+
+        base = _small_model()
+        tight = UMHSModel(
+            dc.replace(base.config, compact_samples=True, compact_fraction=0.25),
+            wavelengths=WL, num_classes=4, num_images=3,
+        )
+        loose = UMHSModel(
+            dc.replace(base.config, compact_samples=True, compact_fraction=1.0),
+            wavelengths=WL, num_classes=4, num_images=3,
+        )
+        params, occ = base.init(jax.random.PRNGKey(0))
+        occ = mark_all_occupied(occ)
+        rays = _rays(n=64)  # large enough that the 256-slot floor binds
+        a = loose.forward(params, occ, rays, rng=jax.random.PRNGKey(1))
+        b = tight.forward(params, occ, rays, rng=jax.random.PRNGKey(1))
+        assert int(np.asarray(b["num_samples_per_ray"]).sum()) <= 64 * 16 * 0.25 + 64
+        np.testing.assert_allclose(
+            np.asarray(a["accumulation"]), np.asarray(b["accumulation"]), atol=0.15
+        )
+
+    def test_compact_gradients_flow(self):
+        model = _small_model()  # compact_samples defaults True
+        assert model.config.compact_samples
+        params, occ = model.init(jax.random.PRNGKey(0))
+        occ = mark_all_occupied(occ)
+        rays = _rays()
+        batch = {
+            "image": jax.random.uniform(jax.random.PRNGKey(5), (8, 4)),
+            "hs_image": jax.random.uniform(jax.random.PRNGKey(6), (8, 21)),
+        }
+
+        def total(p):
+            out = model.forward(p, occ, rays, rng=jax.random.PRNGKey(1))
+            ld = model.loss(out, batch, jax.random.PRNGKey(2))
+            return sum(ld.values())
+
+        g = jax.grad(total)(params)
+        assert float(jnp.abs(g["hash_table"]).sum()) > 0
+        assert float(jnp.abs(g["endmembers"]).sum()) > 0

@@ -41,6 +41,12 @@ def main(argv=None):
     config, ignored = apply_cli_overrides(config, argv)
     if ignored:
         print(f"[umhs-train] accepted-but-inert flags: {ignored}")
+    if config.pipeline.check_nan:
+        # reference: check_nan -> torch.autograd.set_detect_anomaly
+        # (umhs_pipeline.py:77-78); JAX equivalent re-runs ops on NaN
+        from ..utils.hooks import enable_nan_checks
+
+        enable_nan_checks(True)
 
     trainer = Trainer(
         config.trainer,

@@ -113,7 +113,6 @@ _IGNORED = {
     "pipeline.model.implementation",
     "pipeline.datamanager.images_on_gpu",
     "pipeline.datamanager.patch_size",
-    "pipeline.check_nan",
     "logging.local_writer.enable",
 }
 

@@ -35,6 +35,7 @@ from ..ops.compositing import (
     render_accumulation,
     render_depth_expected,
     render_weights,
+    segment_accumulate,
 )
 from ..ops.encodings import HashEncodingConfig
 from ..ops.occupancy import (
@@ -86,6 +87,12 @@ class ModelConfig:
     early_stop_eps: float = 1e-4
     compute_dtype: str = "float32"  # or "bfloat16"
     stochastic_hash_grad: bool = True  # one-corner gradient splatting
+    # Compact-space field evaluation: gather valid samples into a fixed
+    # buffer of compact_fraction * R * S slots and run the field only there
+    # (the padded (R, S) block is mostly dead lanes after grid convergence).
+    # The marcher's global budget guarantees the buffer never overflows.
+    compact_samples: bool = True
+    compact_fraction: float = 0.5
 
 
 def _grad_scale(x: jnp.ndarray, scaling: jnp.ndarray) -> jnp.ndarray:
@@ -189,6 +196,10 @@ class UMHSModel:
     # ------------------------------------------------------------------
     # forward
     # ------------------------------------------------------------------
+    def _compact_budget(self, num_rays: int, num_samples: int) -> int:
+        """Static compact-buffer size, 256-aligned."""
+        b = int(num_rays * num_samples * self.config.compact_fraction)
+        return max(256, (b // 256) * 256)
     def forward(
         self,
         params,
@@ -221,6 +232,7 @@ class UMHSModel:
         R = o.shape[0]
         S = march_cfg.num_samples
 
+        compact = cfg.compact_samples
         march = march_rays(
             occ_binaries,
             self.occ_config,
@@ -228,42 +240,102 @@ class UMHSModel:
             o,
             d,
             rng=rng if train else None,
+            total_budget=self._compact_budget(R, S) if compact else None,
         )
         t_starts, t_ends, mask = march["t_starts"], march["t_ends"], march["mask"]
-
-        positions = sample_positions(o, d, t_starts, t_ends)  # (R, S, 3)
-        flat_pos = positions.reshape(-1, 3)
-        density, geo_feat = field_density(params, self.field_config, flat_pos)
-        density = density.reshape(R, S)
-
         d_unit = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-        flat_dirs = jnp.broadcast_to(d_unit[:, None, :], (R, S, 3)).reshape(-1, 3)
-        flat_cam = jnp.broadcast_to(cam_idx[:, None], (R, S)).reshape(-1)
-        heads = field_outputs(
-            params,
-            self.field_config,
-            flat_pos,
-            flat_dirs,
-            flat_cam,
-            geo_feat,
-            train=train,
-        )
-        heads = {k: v.reshape(R, S, -1) for k, v in heads.items()}
+        positions = sample_positions(o, d, t_starts, t_ends)  # (R, S, 3)
 
-        if cfg.use_gradient_scaling:
-            # gradients scaled by clamp(midpoint^2, 0, 1)
-            scaling = jnp.clip(((t_starts + t_ends) / 2.0) ** 2, 0.0, 1.0)
-            density = _grad_scale(density, scaling)
-            heads = {k: _grad_scale(v, scaling[..., None]) for k, v in heads.items()}
+        if compact:
+            # --- compact-space field evaluation -------------------------
+            # The padded (R, S) block is mostly masked lanes once the grid
+            # converges; gather the valid samples (ray-major, contiguous per
+            # ray) into a fixed (B,) buffer and run the expensive field only
+            # there. Per-ray reductions become prefix-sum segment sums
+            # (scatter-free; see compositing.segment_accumulate).
+            B = self._compact_budget(R, S)
+            flat_mask = mask.reshape(-1)
+            slot = jnp.cumsum(flat_mask.astype(jnp.int32)) - flat_mask.astype(jnp.int32)
+            total = jnp.sum(flat_mask.astype(jnp.int32))
+            src = (
+                jnp.zeros((B,), jnp.int32)
+                .at[jnp.where(flat_mask, slot, B)]
+                .set(jnp.arange(R * S, dtype=jnp.int32), mode="drop")
+            )
+            live = (jnp.arange(B) < total).astype(jnp.float32)  # (B,)
 
-        weights = render_weights(
-            t_starts,
-            t_ends,
-            density,
-            mask,
-            alpha_thre=alpha_thre,
-            early_stop_eps=cfg.early_stop_eps,
-        )
+            pos_c = jnp.take(positions.reshape(-1, 3), src, axis=0)  # (B, 3)
+            ray_id = src // S
+            dirs_c = jnp.take(d_unit, ray_id, axis=0)
+            cam_c = jnp.take(cam_idx, ray_id, axis=0)
+            density_c, geo_c = field_density(params, self.field_config, pos_c)
+            heads_c = field_outputs(
+                params, self.field_config, pos_c, dirs_c, cam_c, geo_c, train=train
+            )  # dict of (B, C)
+
+            if cfg.use_gradient_scaling:
+                tmid_c = jnp.take(
+                    ((t_starts + t_ends) / 2.0).reshape(-1), src, axis=0
+                )
+                scaling_c = jnp.clip(tmid_c**2, 0.0, 1.0)
+                density_c = _grad_scale(density_c, scaling_c)
+                heads_c = {
+                    k: _grad_scale(v, scaling_c[..., None])
+                    for k, v in heads_c.items()
+                }
+
+            # transmittance needs the (R, S) layout: gather density back via
+            # the slot map (each valid lane knows its compact position)
+            density_rs = jnp.where(
+                mask, jnp.take(density_c, slot.reshape(R, S), axis=0), 0.0
+            )
+            weights = render_weights(
+                t_starts, t_ends, density_rs, mask,
+                alpha_thre=alpha_thre, early_stop_eps=cfg.early_stop_eps,
+            )
+            w_c = jnp.take(weights.reshape(-1), src, axis=0) * live  # (B,)
+            counts = march["num_samples"].astype(jnp.int32)  # (R,)
+            starts = jnp.cumsum(counts) - counts
+
+            def reduce_c(values_c):
+                return segment_accumulate(
+                    w_c[:, None] * values_c, starts, counts
+                )
+
+            heads = heads_c
+            accumulate_fn = reduce_c
+            w_c_sg = jax.lax.stop_gradient(w_c)
+            accumulate_sg = lambda v: segment_accumulate(
+                w_c_sg[:, None] * v, starts, counts
+            )
+        else:
+            flat_pos = positions.reshape(-1, 3)
+            density, geo_feat = field_density(params, self.field_config, flat_pos)
+            density = density.reshape(R, S)
+            flat_dirs = jnp.broadcast_to(d_unit[:, None, :], (R, S, 3)).reshape(-1, 3)
+            flat_cam = jnp.broadcast_to(cam_idx[:, None], (R, S)).reshape(-1)
+            heads = field_outputs(
+                params, self.field_config, flat_pos, flat_dirs, flat_cam,
+                geo_feat, train=train,
+            )
+            heads = {k: v.reshape(R, S, -1) for k, v in heads.items()}
+
+            if cfg.use_gradient_scaling:
+                # gradients scaled by clamp(midpoint^2, 0, 1)
+                scaling = jnp.clip(((t_starts + t_ends) / 2.0) ** 2, 0.0, 1.0)
+                density = _grad_scale(density, scaling)
+                heads = {
+                    k: _grad_scale(v, scaling[..., None]) for k, v in heads.items()
+                }
+
+            weights = render_weights(
+                t_starts, t_ends, density, mask,
+                alpha_thre=alpha_thre, early_stop_eps=cfg.early_stop_eps,
+            )
+            accumulate_fn = lambda v: accumulate(weights, v)
+            accumulate_sg = lambda v: accumulate(
+                jax.lax.stop_gradient(weights), v
+            )
 
         outputs: Dict[str, jnp.ndarray] = {
             "accumulation": render_accumulation(weights),
@@ -272,15 +344,15 @@ class UMHSModel:
         }
 
         if cfg.method == "rgb":
-            outputs["rgb"] = accumulate(weights, heads["rgb"])
+            outputs["rgb"] = accumulate_fn(heads["rgb"])
 
         if "spectral" in cfg.method:
-            spectral = accumulate(weights, heads["spectral"])
+            spectral = accumulate_fn(heads["spectral"])
             outputs["spectral"] = spectral
             if cfg.pred_specular:
-                outputs["spectral2"] = accumulate(weights, heads["spectral2"])
+                outputs["spectral2"] = accumulate_fn(heads["spectral2"])
                 outputs["specular"] = jax.lax.stop_gradient(
-                    accumulate(weights, heads["specular"])
+                    accumulate_fn(heads["specular"])
                 )
             # pseudo-RGB via the CIE projection; detached for spectral-only
             rgb = self.converter(spectral)
@@ -288,7 +360,7 @@ class UMHSModel:
                 jax.lax.stop_gradient(rgb) if cfg.method == "spectral" else rgb
             )
             outputs["abundances"] = jax.lax.stop_gradient(
-                accumulate(weights, heads["abundances"])
+                accumulate_fn(heads["abundances"])
             )
 
             # unsupervised material segmentation against the endmembers
@@ -306,9 +378,7 @@ class UMHSModel:
             )
 
             if cfg.pred_dino:
-                outputs["dino"] = accumulate(
-                    jax.lax.stop_gradient(weights), heads["dino"]
-                )
+                outputs["dino"] = accumulate_sg(heads["dino"])
                 ip_d, probs_d = cluster_probe(
                     jax.lax.stop_gradient(outputs["dino"]),
                     params["endmembers"],

@@ -81,6 +81,40 @@ def accumulate(weights: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("rs,rsc->rc", weights, values)
 
 
+def segment_accumulate(
+    weighted_values: jnp.ndarray,
+    ray_starts: jnp.ndarray,
+    ray_counts: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-ray sums over a ray-major COMPACT sample buffer, scatter-free.
+
+    The compact layout keeps each ray's valid samples contiguous, so the
+    per-ray reduction is an inclusive prefix sum along the buffer followed
+    by two row gathers at the segment boundaries — cheap on TPU, and its
+    transpose (reverse cumsum + gathers) is equally cheap, unlike the
+    scatter-adds a segment_sum would lower to.
+
+    Args:
+        weighted_values: (B, C) per-sample contributions (weight * value),
+            already zeroed outside the live prefix.
+        ray_starts: (R,) int32 — first slot of each ray's run.
+        ray_counts: (R,) int32 — number of valid samples per ray.
+
+    Returns:
+        (R, C) per-ray sums.
+    """
+    prefix = jnp.cumsum(weighted_values, axis=0)  # (B, C)
+    ends = ray_starts + ray_counts - 1  # inclusive end; -1 when empty
+    end_vals = jnp.take(prefix, jnp.maximum(ends, 0), axis=0)
+    start_vals = jnp.where(
+        (ray_starts > 0)[:, None],
+        jnp.take(prefix, jnp.maximum(ray_starts - 1, 0), axis=0),
+        0.0,
+    )
+    out = end_vals - start_vals
+    return jnp.where((ray_counts > 0)[:, None], out, 0.0)
+
+
 def render_accumulation(weights: jnp.ndarray) -> jnp.ndarray:
     """Opacity per ray: sum of weights. (R, S) -> (R, 1)."""
     return jnp.sum(weights, axis=-1, keepdims=True)

@@ -115,6 +115,7 @@ def march_rays(
     origins: jnp.ndarray,
     directions: jnp.ndarray,
     rng: Optional[jax.Array] = None,
+    total_budget: Optional[int] = None,
 ):
     """March rays through the occupancy grid.
 
@@ -123,6 +124,12 @@ def march_rays(
         origins, directions: (R, 3). Directions need not be unit-norm; they
             are normalised here (nerfstudio RayBundles carry unit dirs).
         rng: if given, stratified-jitter the march start (training mode).
+        total_budget: optional GLOBAL cap on the total number of valid
+            samples across the batch (in fine samples). When the batch would
+            exceed it, every ray's budget is scaled proportionally (coarser
+            stride + dt rescale, optical depth conserved) so that
+            sum(num_samples) <= total_budget — this lets the model compact
+            valid samples into a fixed-size buffer for field evaluation.
 
     Returns:
         dict with t_starts, t_ends (R, S), mask (R, S) bool, and
@@ -175,10 +182,22 @@ def march_rays(
     S = march.num_samples
     cum = jnp.cumsum(occupied.astype(jnp.int32), axis=-1)  # (R, M)
     count = cum[:, -1:]  # (R, 1)
+    # per-ray sample budget: at most S (the static lane width), scaled down
+    # proportionally when the whole batch would exceed total_budget
+    budget = jnp.minimum(count, S)
+    if total_budget is not None:
+        k_sub = max(march.occ_subsamples, 1)
+        coarse_total_budget = total_budget // k_sub
+        total = jnp.maximum(jnp.sum(budget), 1)
+        scale = jnp.minimum(1.0, coarse_total_budget / total.astype(jnp.float32))
+        budget = jnp.maximum(
+            (budget.astype(jnp.float32) * scale).astype(jnp.int32),
+            jnp.minimum(count, 1),
+        )
     slot = jnp.arange(S, dtype=jnp.int32)[None, :]  # (1, S)
     # target occupied rank per output slot (0-based): strided when over budget
-    rank = jnp.where(count > S, (slot * count) // S, slot)  # (R, S)
-    valid = slot < jnp.minimum(count, S)
+    rank = jnp.where(count > budget, (slot * count) // jnp.maximum(budget, 1), slot)
+    valid = slot < budget
     # first candidate index whose cumulative count reaches rank+1
     lo = jnp.zeros((occupied.shape[0], S), dtype=jnp.int32)
     hi = jnp.full((occupied.shape[0], S), M, dtype=jnp.int32)
@@ -190,7 +209,9 @@ def march_rays(
         lo = jnp.where(go_right, mid + 1, lo)
         hi = jnp.where(go_right, hi, mid)
     idx = jnp.minimum(lo, M - 1)  # (R, S)
-    dt_scale = jnp.maximum(count.astype(jnp.float32) / S, 1.0)  # (R, 1)
+    dt_scale = jnp.maximum(
+        count.astype(jnp.float32) / jnp.maximum(budget, 1).astype(jnp.float32), 1.0
+    )  # (R, 1)
 
     t_starts = jnp.take_along_axis(ts, idx, axis=1)
     dt_sel = jnp.take_along_axis(dts, idx, axis=1) * dt_scale
