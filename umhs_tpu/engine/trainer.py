@@ -175,7 +175,8 @@ class Trainer:
         return self
 
     # ------------------------------------------------------------------
-    def _build_train_step(self, batch_size: Optional[int] = None, march_cfg=None):
+    def _build_train_step(self, batch_size: Optional[int] = None, march_cfg=None,
+                          compact_budget: Optional[int] = None):
         model = self.model
         optimizer = self.optimizer
         batch_size = batch_size or self.datamanager.config.train_num_rays_per_batch
@@ -194,7 +195,7 @@ class Trainer:
             def loss_fn(params):
                 outputs = model.forward(
                     params, state["occ"], rays, rng=k_march, train=True,
-                    march_config=march_cfg,
+                    march_config=march_cfg, compact_budget=compact_budget,
                 )
                 loss_dict = model.loss(outputs, batch, k_bg, step=state["step"])
                 return sum(loss_dict.values()), (loss_dict, outputs)
@@ -223,7 +224,7 @@ class Trainer:
         return train_step
 
     def _build_train_chunk(self, num_steps: int, batch_size: Optional[int] = None,
-                           march_cfg=None):
+                           march_cfg=None, compact_budget: Optional[int] = None):
         """`num_steps` train steps fused into ONE dispatch via lax.scan.
 
         A host-side step loop pays a full client->relay->TPU dispatch round
@@ -233,7 +234,7 @@ class Trainer:
         step of the chunk are returned (matching the reference's
         steps_per_log-style sampling of train metrics).
         """
-        step_fn = self._build_train_step(batch_size, march_cfg)
+        step_fn = self._build_train_step(batch_size, march_cfg, compact_budget)
 
         def chunk(state, data, cam):
             def body(st, _):
@@ -283,6 +284,9 @@ class Trainer:
             self._chunk_fns = {}
             self._dyn_rays = self.datamanager.config.train_num_rays_per_batch
             self._dyn_march = self.model.march_config
+            # pre-adaptation: no compact truncation (full R*S budget) so the
+            # bootstrap phase on a dense grid samples exactly like nerfacc
+            self._dyn_budget = self._dyn_rays * self._dyn_march.num_samples
             self._train_step_fn = True  # built lazily per (n, rays, march)
         total_iters = num_iterations or cfg.max_num_iterations
 
@@ -304,10 +308,10 @@ class Trainer:
                 )
 
             n = min(interval - (step % interval), total_iters - step)
-            key = (n, self._dyn_rays, self._dyn_march.num_samples)
+            key = (n, self._dyn_rays, self._dyn_march.num_samples, self._dyn_budget)
             if key not in self._chunk_fns:
                 self._chunk_fns[key] = self._build_train_chunk(
-                    n, self._dyn_rays, self._dyn_march
+                    n, self._dyn_rays, self._dyn_march, self._dyn_budget
                 )
             self.state, metrics = self._chunk_fns[key](
                 self.state, self.train_data, self.train_cam
@@ -377,6 +381,10 @@ class Trainer:
         )
         self._dyn_rays = new_r
         self._dyn_march = dc.replace(self._dyn_march, num_samples=new_s)
+        # compact field buffer: ~1.3x the measured mean useful samples
+        self._dyn_budget = max(
+            4096, int(1.3 * mean_spr * new_r) // 256 * 256
+        )
 
     # ------------------------------------------------------------------
     def eval_batch(self) -> Dict[str, float]:

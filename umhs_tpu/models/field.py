@@ -210,7 +210,7 @@ def field_density(
     density_raw = h[..., 0]
     geo_feat = h[..., 1:]
     density = cfg.average_init_density * trunc_exp(density_raw.astype(jnp.float32))
-    density = density * selector
+    density = jnp.where(selector, density, 0.0)
     return density, geo_feat
 
 

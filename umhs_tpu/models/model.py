@@ -208,6 +208,7 @@ class UMHSModel:
         rng: Optional[jax.Array] = None,
         train: bool = True,
         march_config: Optional[MarchConfig] = None,
+        compact_budget: Optional[int] = None,
     ) -> Dict[str, jnp.ndarray]:
         """Render a batch of rays.
 
@@ -233,6 +234,7 @@ class UMHSModel:
         S = march_cfg.num_samples
 
         compact = cfg.compact_samples
+        B = compact_budget or self._compact_budget(R, S)
         march = march_rays(
             occ_binaries,
             self.occ_config,
@@ -240,7 +242,7 @@ class UMHSModel:
             o,
             d,
             rng=rng if train else None,
-            total_budget=self._compact_budget(R, S) if compact else None,
+            total_budget=B if compact else None,
         )
         t_starts, t_ends, mask = march["t_starts"], march["t_ends"], march["mask"]
         d_unit = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
@@ -253,7 +255,6 @@ class UMHSModel:
             # ray) into a fixed (B,) buffer and run the expensive field only
             # there. Per-ray reductions become prefix-sum segment sums
             # (scatter-free; see compositing.segment_accumulate).
-            B = self._compact_budget(R, S)
             flat_mask = mask.reshape(-1)
             slot = jnp.cumsum(flat_mask.astype(jnp.int32)) - flat_mask.astype(jnp.int32)
             total = jnp.sum(flat_mask.astype(jnp.int32))
@@ -264,7 +265,7 @@ class UMHSModel:
             )
             live = (jnp.arange(B) < total).astype(jnp.float32)  # (B,)
 
-            pos_c = jnp.take(positions.reshape(-1, 3), src, axis=0)  # (B, 3)
+            pos_c = jnp.take(positions.reshape(-1, 3), src, axis=0, mode="clip")
             ray_id = src // S
             dirs_c = jnp.take(d_unit, ray_id, axis=0)
             cam_c = jnp.take(cam_idx, ray_id, axis=0)
@@ -286,14 +287,18 @@ class UMHSModel:
 
             # transmittance needs the (R, S) layout: gather density back via
             # the slot map (each valid lane knows its compact position)
+            # mode="clip": jnp.take's default fill mode writes NaN for any
+            # out-of-bounds index — a silent poison if budgets ever disagree
             density_rs = jnp.where(
-                mask, jnp.take(density_c, slot.reshape(R, S), axis=0), 0.0
+                mask,
+                jnp.take(density_c, slot.reshape(R, S), axis=0, mode="clip"),
+                0.0,
             )
             weights = render_weights(
                 t_starts, t_ends, density_rs, mask,
                 alpha_thre=alpha_thre, early_stop_eps=cfg.early_stop_eps,
             )
-            w_c = jnp.take(weights.reshape(-1), src, axis=0) * live  # (B,)
+            w_c = jnp.take(weights.reshape(-1), src, axis=0, mode="clip") * live
             counts = march["num_samples"].astype(jnp.int32)  # (R,)
             starts = jnp.cumsum(counts) - counts
 

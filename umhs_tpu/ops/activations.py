@@ -15,11 +15,16 @@ import jax.numpy as jnp
 
 @jax.custom_vjp
 def trunc_exp(x):
-    return jnp.exp(x)
+    # Forward clamp at 15 as well (exp(15) ~ 3.3e6 — opaque at any step
+    # size): an unclamped exp overflows f32 to inf early in training with
+    # lr 2e-2, and inf * selector(=0) = NaN permanently poisons the
+    # occupancy grid's EMA (max(nan, x) = nan) — the grid goes empty and
+    # training silently collapses to background fitting.
+    return jnp.exp(jnp.clip(x, -15.0, 15.0))
 
 
 def _trunc_exp_fwd(x):
-    return jnp.exp(x), x
+    return jnp.exp(jnp.clip(x, -15.0, 15.0)), x
 
 
 def _trunc_exp_bwd(x, g):

@@ -105,10 +105,10 @@ def segment_accumulate(
     """
     prefix = jnp.cumsum(weighted_values, axis=0)  # (B, C)
     ends = ray_starts + ray_counts - 1  # inclusive end; -1 when empty
-    end_vals = jnp.take(prefix, jnp.maximum(ends, 0), axis=0)
+    end_vals = jnp.take(prefix, jnp.maximum(ends, 0), axis=0, mode="clip")
     start_vals = jnp.where(
         (ray_starts > 0)[:, None],
-        jnp.take(prefix, jnp.maximum(ray_starts - 1, 0), axis=0),
+        jnp.take(prefix, jnp.maximum(ray_starts - 1, 0), axis=0, mode="clip"),
         0.0,
     )
     out = end_vals - start_vals

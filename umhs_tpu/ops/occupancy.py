@@ -174,7 +174,9 @@ def update_occ_state(
 
     flat_idx = level * res3 + cell_flat
     old = jnp.take(state["occs"], flat_idx, axis=0)
-    new = jnp.maximum(old * config.ema_decay, occ)
+    # defense in depth: a single NaN here would persist forever through the
+    # EMA max and silently empty the grid
+    new = jnp.maximum(old * config.ema_decay, jnp.nan_to_num(occ))
     occs = state["occs"].at[flat_idx].set(new)
 
     thre = jnp.minimum(jnp.mean(occs), config.occ_thre)
