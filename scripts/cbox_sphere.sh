@@ -1,6 +1,5 @@
 #!/usr/bin/env bash
-# cbox_dragon Cornell-box spectral scene — TPU equivalent of the reference
-# scripts/cbox_dragon.sh hyperparameters.
+# cbox_sphere Cornell-box spectral scene — reference scripts/cbox_sphere.sh.
 python -m umhs_tpu.cli.train umhsnerf \
  --steps_per_save 1000 --machine.seed 42 \
  --pipeline.num_classes 5 \
@@ -10,5 +9,5 @@ python -m umhs_tpu.cli.train umhsnerf \
  --pipeline.model.pred_specular True --pipeline.model.load_vca True \
  --pipeline.datamanager.train-num-rays-per-batch 4096 \
  --pipeline.model.method rgb+spectral \
- --data data/processed/cbox_dragon --experiment-name cbox_dragon \
+ --data data/processed/cbox_sphere --experiment-name cbox_sphere \
  --vis console
