@@ -65,6 +65,11 @@ class ModelConfig:
     grid_levels: int = 4
     max_res: int = 2048
     log2_hashmap_size: int = 19
+    # hash-grid shape: rows gathered per sample = num_levels*8; TPU row
+    # gathers are width-insensitive up to 8 f32, so fewer levels x wider
+    # features (e.g. 8x4) halves gather cost at equal encoding width
+    hash_num_levels: int = 16
+    hash_features_per_level: int = 2
     alpha_thre: float = 0.01
     cone_angle: float = 0.004
     render_step_size: Optional[float] = None
@@ -154,6 +159,8 @@ class UMHSModel:
             aabb_min=aabb_min,
             aabb_max=aabb_max,
             hash=HashEncodingConfig(
+                num_levels=config.hash_num_levels,
+                features_per_level=config.hash_features_per_level,
                 log2_hashmap_size=config.log2_hashmap_size,
                 max_resolution=config.max_res,
                 stochastic_grad=config.stochastic_hash_grad,
