@@ -193,3 +193,44 @@ class TestDataManager:
         assert (h, w) == (32, 32)
         assert rays["origins"].shape == (1024, 3)
         assert batch["image"].shape == (32, 32, 4)
+
+
+class TestPlyPoints:
+    def _write_ascii_ply(self, path, pts, rgb):
+        with open(path, "w") as f:
+            f.write("ply\nformat ascii 1.0\n")
+            f.write(f"element vertex {len(pts)}\n")
+            f.write("property float x\nproperty float y\nproperty float z\n")
+            f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+            f.write("end_header\n")
+            for p, c in zip(pts, rgb):
+                f.write(f"{p[0]} {p[1]} {p[2]} {c[0]} {c[1]} {c[2]}\n")
+
+    def test_ascii_ply(self, tmp_path):
+        from umhs_tpu.data.dataparser import load_ply_points
+
+        pts = np.array([[1.0, 0.0, 0.0], [0.0, 2.0, 0.0]])
+        rgb = np.array([[255, 0, 0], [0, 255, 0]])
+        self._write_ascii_ply(tmp_path / "p.ply", pts, rgb)
+        out = load_ply_points(tmp_path / "p.ply", np.eye(4)[:3], 0.5)
+        np.testing.assert_allclose(out["points3D_xyz"], pts * 0.5, atol=1e-6)
+        np.testing.assert_array_equal(out["points3D_rgb"], rgb)
+
+    def test_binary_ply(self, tmp_path):
+        from umhs_tpu.data.dataparser import load_ply_points
+
+        n = 3
+        dtype = np.dtype([("x", "<f4"), ("y", "<f4"), ("z", "<f4")])
+        arr = np.zeros(n, dtype=dtype)
+        arr["x"] = [1, 2, 3]
+        arr["y"] = [4, 5, 6]
+        arr["z"] = [7, 8, 9]
+        with open(tmp_path / "b.ply", "wb") as f:
+            f.write(b"ply\nformat binary_little_endian 1.0\n")
+            f.write(f"element vertex {n}\n".encode())
+            f.write(b"property float x\nproperty float y\nproperty float z\n")
+            f.write(b"end_header\n")
+            f.write(arr.tobytes())
+        out = load_ply_points(tmp_path / "b.ply", np.eye(4)[:3], 1.0)
+        np.testing.assert_allclose(out["points3D_xyz"][:, 0], [1, 2, 3], atol=1e-6)
+        assert "points3D_rgb" not in out

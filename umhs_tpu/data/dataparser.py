@@ -52,6 +52,7 @@ class DataParserConfig:
     train_split_fraction: float = 0.9
     eval_interval: int = 8
     depth_unit_scale_factor: float = 1e-3
+    load_3D_points: bool = False
     num_classes: int = 5
     vca_cache: str = "vca.npy"
 
@@ -397,6 +398,14 @@ class UMHSDataParser:
         if "applied_scale" in meta:
             scale_factor *= float(meta["applied_scale"])
 
+        extra_meta = {}
+        if cfg.load_3D_points and "ply_file_path" in meta:
+            pts = load_ply_points(
+                data_dir / meta["ply_file_path"], dataparser_transform, scale_factor
+            )
+            if pts is not None:
+                extra_meta.update(pts)
+
         return DataparserOutputs(
             image_filenames=image_filenames,
             cameras=cameras,
@@ -415,5 +424,70 @@ class UMHSDataParser:
                 "wavelengths": wavelengths,
                 "height": heights,
                 "width": widths,
+                **extra_meta,
             },
         )
+
+
+def load_ply_points(ply_path: Path, transform: np.ndarray, scale: float):
+    """Load a sparse point cloud from a .ply file (ascii or binary little
+    endian), transform into dataparser coordinates, and scale — the TPU
+    equivalent of the reference's open3d-based `_load_3D_points`
+    (umhs_dataparser.py:500-537). Returns {"points3D_xyz", "points3D_rgb"}
+    or None when the file has no points."""
+    with open(ply_path, "rb") as f:
+        header = []
+        while True:
+            line = f.readline().decode("ascii", errors="replace").strip()
+            header.append(line)
+            if line == "end_header":
+                break
+        fmt = next((l.split()[1] for l in header if l.startswith("format")), "ascii")
+        n_vertex = 0
+        props = []
+        in_vertex = False
+        for l in header:
+            if l.startswith("element vertex"):
+                n_vertex = int(l.split()[-1])
+                in_vertex = True
+            elif l.startswith("element"):
+                in_vertex = False
+            elif l.startswith("property") and in_vertex:
+                parts = l.split()
+                props.append((parts[1], parts[2]))
+        if n_vertex == 0:
+            return None
+
+        type_map = {
+            "float": "f4", "float32": "f4", "double": "f8", "float64": "f8",
+            "uchar": "u1", "uint8": "u1", "char": "i1", "short": "i2",
+            "ushort": "u2", "int": "i4", "uint": "u4",
+        }
+        if fmt == "ascii":
+            rows = [f.readline().split() for _ in range(n_vertex)]
+            data = np.asarray(rows, dtype=np.float64)
+            names = [name for _, name in props]
+        else:
+            endian = "<" if "little" in fmt else ">"
+            dtype = np.dtype([(name, endian + type_map[t]) for t, name in props])
+            raw = np.frombuffer(f.read(dtype.itemsize * n_vertex), dtype=dtype)
+            names = list(raw.dtype.names)
+            data = np.stack(
+                [raw[n].astype(np.float64) for n in names], axis=-1
+            )
+
+    def col(name, default=None):
+        if name in names:
+            return data[:, names.index(name)]
+        return default
+
+    xyz = np.stack([col("x"), col("y"), col("z")], axis=-1)
+    xyz_h = np.concatenate([xyz, np.ones_like(xyz[:, :1])], axis=-1)
+    xyz = (xyz_h @ np.vstack([transform, [0, 0, 0, 1]]).T)[:, :3] * scale
+    out = {"points3D_xyz": xyz.astype(np.float32)}
+    if "red" in names:
+        rgb = np.stack([col("red"), col("green"), col("blue")], axis=-1)
+        if rgb.max() <= 1.0:
+            rgb = rgb * 255.0
+        out["points3D_rgb"] = rgb.astype(np.uint8)
+    return out
