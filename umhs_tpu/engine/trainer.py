@@ -345,6 +345,12 @@ class Trainer:
                 ev = self.eval_batch()
                 self.writer.write(self.step, {f"eval/{k}": v for k, v in ev.items()})
 
+            if crossed(cfg.steps_per_eval_image) and self.step < total_iters:
+                evi = self.eval_image(self.step % max(len(self.datamanager.eval_dataset), 1))
+                self.writer.write(
+                    self.step, {f"eval_image/{k}": v for k, v in evi.items()}
+                )
+
             if crossed(cfg.steps_per_save) or self.step == total_iters:
                 self.save_checkpoint()
 
