@@ -85,6 +85,12 @@ def main():
             num_candidates=1024,
             max_samples_per_ray=64,
             cone_angle=0.0,
+            # TPU-optimized hash shape: 8 levels x 4 features = half the
+            # gather rows of the L16xF2 default at equal encoding width.
+            # A/B on TPU: +39% rays/s, eval-image quality within 0.3 dB RGB /
+            # 0.6 dB spectral (see docs/PERFORMANCE.md).
+            hash_num_levels=8,
+            hash_features_per_level=4,
         ),
         DataManagerConfig(
             dataparser=DataParserConfig(data=root, num_classes=6),
