@@ -134,3 +134,28 @@ def test_dynamic_batch_adaptation(scene_dir, tmp_path, monkeypatch):
     assert trainer._dyn_march.num_samples <= trainer.model.march_config.num_samples
     m = trainer.eval_batch()
     assert np.isfinite(m["psnr"]) and m["psnr"] > 10
+
+
+def test_dynamic_state_survives_resume(scene_dir, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import dataclasses as dc
+
+    trainer = _trainer(scene_dir, tmp_path, method="rgb", iters=64)
+    trainer.config = dc.replace(
+        trainer.config, dynamic_batching=True, adapt_steps=(32,), target_num_samples=8192
+    )
+    trainer.setup()
+    trainer.train()
+    trainer.save_checkpoint()
+    adapted = (trainer._dyn_rays, trainer._dyn_march.num_samples, trainer._dyn_budget)
+    assert adapted[0] != trainer.datamanager.config.train_num_rays_per_batch
+
+    t2 = _trainer(scene_dir, tmp_path, method="rgb", iters=64)
+    t2.config = dc.replace(
+        t2.config, dynamic_batching=True, adapt_steps=(32,), target_num_samples=8192
+    )
+    t2.setup()
+    t2.load_checkpoint(trainer.checkpoint_dir)
+    assert (t2._dyn_rays, t2._dyn_march.num_samples, t2._dyn_budget) == adapted
+    t2.train(num_iterations=80)  # continues with the adapted shapes
+    assert t2.step == 80

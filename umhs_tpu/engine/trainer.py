@@ -513,6 +513,19 @@ class Trainer:
         }
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(path, ckpt, force=True)
+        # dynamic-batch state rides along so resume keeps the adapted shapes
+        if hasattr(self, "_dyn_march"):
+            import json as _json
+
+            with open(path / "dynamic_batch.json", "w") as f:
+                _json.dump(
+                    {
+                        "rays": self._dyn_rays,
+                        "num_samples": self._dyn_march.num_samples,
+                        "budget": self._dyn_budget,
+                    },
+                    f,
+                )
         if self.config.save_only_latest_checkpoint:
             for p in sorted(self.checkpoint_dir.glob("step-*")):
                 if p.name != f"step-{self.step:09d}":
@@ -539,6 +552,23 @@ class Trainer:
         self.state.update(restored)
         self.state["step"] = jnp.asarray(load_step, jnp.int32)
         self.step = load_step
+        dyn_path = path / "dynamic_batch.json"
+        if dyn_path.exists():
+            import dataclasses as dc
+            import json as _json
+
+            with open(dyn_path) as f:
+                dyn = _json.load(f)
+            # lazily-initialised train() state; pre-seed it so the first
+            # chunk after resume compiles with the adapted shapes
+            self._occ_update_fn = self._build_occ_update()
+            self._chunk_fns = {}
+            self._train_step_fn = True
+            self._dyn_rays = int(dyn["rays"])
+            self._dyn_march = dc.replace(
+                self.model.march_config, num_samples=int(dyn["num_samples"])
+            )
+            self._dyn_budget = int(dyn["budget"])
         # endmember dump on load (reference umhs_pipeline.py:175)
         if "endmembers" in self.state["params"]:
             np.save(
