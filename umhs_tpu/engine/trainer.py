@@ -424,25 +424,36 @@ class Trainer:
         h, w = hw
         n = h * w
         chunk = chunk or self.model.config.eval_num_rays_per_chunk
-        if self._forward_fn is None:
-            self._forward_fn = self._build_forward(train=False)
-        outs = []
-        key = jax.random.PRNGKey(0)
-        for i in range(0, n, chunk):
-            sl = {k: v[i : i + chunk] for k, v in rays.items()}
-            pad = chunk - sl["origins"].shape[0]
+        num_chunks = -(-n // chunk)
+        pad = num_chunks * chunk - n
+        padded = {}
+        for k, v in rays.items():
             if pad > 0:
-                sl = {
-                    k: jnp.concatenate([v, jnp.zeros((pad, *v.shape[1:]), v.dtype)])
-                    for k, v in sl.items()
-                }
-                sl["directions"] = sl["directions"].at[-pad:].set(
-                    jnp.array([0.0, 0.0, 1.0])
+                fill = jnp.zeros((pad, *v.shape[1:]), v.dtype)
+                if k == "directions":
+                    fill = fill.at[:].set(jnp.array([0.0, 0.0, 1.0], v.dtype))
+                v = jnp.concatenate([v, fill])
+            padded[k] = v.reshape(num_chunks, chunk, *v.shape[1:])
+
+        # one dispatch for the whole image: lax.map over chunks (a host-side
+        # chunk loop pays a tunnel round trip per chunk)
+        if getattr(self, "_render_fn", None) is None or self._render_fn[0] != chunk:
+            model = self.model
+
+            def render_all(state, chunks):
+                key = jax.random.PRNGKey(0)
+                return jax.lax.map(
+                    lambda sl: model.forward(
+                        state["params"], state["occ"], sl, rng=key, train=False
+                    ),
+                    chunks,
                 )
-            outs.append(self._forward_fn(self.state, sl, key))
+
+            self._render_fn = (chunk, jax.jit(render_all))
+        outs = self._render_fn[1](self.state, padded)
         merged = {}
-        for k in outs[0]:
-            arr = np.concatenate([np.asarray(o[k]) for o in outs], axis=0)[:n]
+        for k, v in outs.items():
+            arr = np.asarray(v).reshape(num_chunks * chunk, -1)[:n]
             merged[k] = arr.reshape(h, w, -1)
         return merged
 
