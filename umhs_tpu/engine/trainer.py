@@ -322,8 +322,15 @@ class Trainer:
             window_rays += n * self._dyn_rays
 
             # dynamic batch adaptation at scheduled one-shot boundaries
-            if cfg.dynamic_batching and any(
-                self.step - self._last_n < s <= self.step for s in cfg.adapt_steps
+            # (occupancy-marching sampler only; the proposal sampler has a
+            # fixed per-ray sample count by construction)
+            if (
+                cfg.dynamic_batching
+                and self.model.config.sampler == "occgrid"
+                and any(
+                    self.step - self._last_n < s <= self.step
+                    for s in cfg.adapt_steps
+                )
             ):
                 self._adapt_batch(float(metrics["num_samples_per_batch"]))
 

@@ -324,6 +324,32 @@ def field_outputs(
     return out
 
 
+def init_proposal_params(
+    key: jax.Array, hash_cfg: HashEncodingConfig, width: int = 16
+) -> Dict[str, Any]:
+    """Density-only proposal network (nerfacto-style): small hash grid + a
+    2-layer MLP to one density logit."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "hash_table": init_hash_table(k1, hash_cfg),
+        "mlp": init_mlp(k2, in_dim=hash_cfg.output_dim, num_layers=2,
+                        layer_width=width, out_dim=1),
+    }
+
+
+def proposal_density(
+    params, hash_cfg: HashEncodingConfig, field_cfg: FieldConfig,
+    positions: jnp.ndarray,
+) -> jnp.ndarray:
+    """Density of a proposal net at world positions (..., 3) -> (...,).
+    Shares the main field's contraction/normalisation."""
+    unit, selector = normalized_positions(positions, field_cfg)
+    enc = hash_encode(params["hash_table"], unit, hash_cfg)
+    raw = apply_mlp(params["mlp"], enc, compute_dtype=field_cfg.compute_dtype)[..., 0]
+    density = trunc_exp(raw.astype(jnp.float32))
+    return jnp.where(selector, density, 0.0)
+
+
 def clamp_endmembers(params):
     """AFTER_TRAIN_ITERATION callback: clamp the endmember matrix to [0, 1]
     (reference umhs_model.py:567-572)."""

@@ -43,6 +43,13 @@ from ..ops.occupancy import (
     init_occ_state,
     update_occ_state,
 )
+from ..ops.proposal_sampling import (
+    distortion_loss,
+    interlevel_loss,
+    pdf_resample,
+    sdist_to_t,
+    uniform_bins,
+)
 from ..ops.ray_marching import MarchConfig, march_rays, sample_positions
 from ..ops.spec_to_rgb import ColourSystem
 from ..utils.clusterprobe import cluster_probe, label_to_rgb
@@ -53,6 +60,8 @@ from .field import (
     field_density,
     field_outputs,
     init_field_params,
+    init_proposal_params,
+    proposal_density,
 )
 
 
@@ -98,6 +107,14 @@ class ModelConfig:
     # The marcher's global budget guarantees the buffer never overflows.
     compact_samples: bool = True
     compact_fraction: float = 0.5
+    # Sampler family: 'occgrid' (the reference method's nerfacc-style
+    # occupancy marching) or 'proposal' (nerfacto-style proposal networks
+    # with PDF resampling — no occupancy grid, robust on unbounded scenes).
+    sampler: str = "occgrid"
+    num_proposal_samples: Tuple[int, int] = (256, 96)
+    num_nerf_samples: int = 48
+    interlevel_loss_mult: float = 1.0
+    distortion_loss_mult: float = 0.002
 
 
 def _grad_scale(x: jnp.ndarray, scaling: jnp.ndarray) -> jnp.ndarray:
@@ -172,12 +189,25 @@ class UMHSModel:
         self.converter = (
             ColourSystem(self.wavelengths) if self.wavelengths else None
         )
+        # proposal-net hash configs (nerfacto defaults: tiny 5-level grids)
+        self.proposal_hash_configs = (
+            HashEncodingConfig(num_levels=5, max_resolution=128,
+                               log2_hashmap_size=17, base_resolution=16),
+            HashEncodingConfig(num_levels=5, max_resolution=256,
+                               log2_hashmap_size=17, base_resolution=16),
+        )
 
     # ------------------------------------------------------------------
     # state init
     # ------------------------------------------------------------------
     def init(self, key: jax.Array, endmembers_init: Optional[np.ndarray] = None):
         params = init_field_params(key, self.field_config, endmembers_init)
+        if self.config.sampler == "proposal":
+            for i, hcfg in enumerate(
+                self.proposal_hash_configs[: len(self.config.num_proposal_samples)]
+            ):
+                key, sub = jax.random.split(key)
+                params[f"proposal_{i}"] = init_proposal_params(sub, hcfg)
         occ_state = init_occ_state(self.occ_config)
         return params, occ_state
 
@@ -196,6 +226,8 @@ class UMHSModel:
 
     def occ_update_due(self, step: int) -> Tuple[bool, bool]:
         """(due, full_update) per the nerfacc schedule."""
+        if self.config.sampler == "proposal":
+            return False, False
         cfg = self.occ_config
         due = step % cfg.update_interval == 0
         return due, step < cfg.warmup_steps
@@ -228,6 +260,8 @@ class UMHSModel:
         rgb / spectral / spectral2 / specular / abundances / seg_* per method.
         """
         cfg = self.config
+        if cfg.sampler == "proposal":
+            return self._forward_proposal(params, rays, rng=rng, train=train)
         march_cfg = march_config or self.march_config
         occ_binaries = occ_state["binaries"]
         # nerfacc semantics: effective alpha threshold is
@@ -400,6 +434,122 @@ class UMHSModel:
                 outputs["inner_products"] = ip_d
         return outputs
 
+    def _forward_proposal(
+        self,
+        params,
+        rays: Dict[str, jnp.ndarray],
+        rng: Optional[jax.Array] = None,
+        train: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        """nerfacto-style forward: uniform s-bins -> proposal nets with PDF
+        resampling -> main field on the final bins. All shapes static; bins
+        live in s-space (uniform-in-disparity warp between near and far)."""
+        cfg = self.config
+        o, d = rays["origins"], rays["directions"]
+        d_unit = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        cam_idx = rays.get("camera_indices", jnp.zeros(o.shape[0], dtype=jnp.int32))
+        R = o.shape[0]
+        near, far = cfg.near_plane, cfg.far_plane
+        keys = (
+            jax.random.split(rng, len(cfg.num_proposal_samples) + 1)
+            if rng is not None
+            else [None] * (len(cfg.num_proposal_samples) + 1)
+        )
+
+        def bins_to_weights(s_edges, sigma_fn):
+            t_edges = sdist_to_t(s_edges, near, far)
+            t_lo, t_hi = t_edges[:, :-1], t_edges[:, 1:]
+            mids = (t_lo + t_hi) / 2.0
+            pos = o[:, None, :] + d_unit[:, None, :] * mids[..., None]
+            sigma = sigma_fn(pos.reshape(-1, 3)).reshape(t_lo.shape)
+            full = jnp.ones_like(t_lo, dtype=bool)
+            w = render_weights(t_lo, t_hi, sigma, full, alpha_thre=0.0,
+                               early_stop_eps=0.0)
+            return w, t_edges, pos, sigma
+
+        aux_edges, aux_weights = [], []
+        s_edges = uniform_bins(R, cfg.num_proposal_samples[0], rng=keys[0])
+        for i, n_next in enumerate(
+            list(cfg.num_proposal_samples[1:]) + [cfg.num_nerf_samples]
+        ):
+            hcfg = self.proposal_hash_configs[i]
+            w, _, _, _ = bins_to_weights(
+                s_edges,
+                lambda x, i=i, hcfg=hcfg: proposal_density(
+                    params[f"proposal_{i}"], hcfg, self.field_config, x
+                ),
+            )
+            aux_edges.append(s_edges)
+            aux_weights.append(w)
+            s_edges = pdf_resample(s_edges, w, n_next, rng=keys[i + 1])
+
+        # main field on the final bins (padded path: every lane is valid)
+        S = cfg.num_nerf_samples
+        t_edges = sdist_to_t(s_edges, near, far)
+        t_starts, t_ends = t_edges[:, :-1], t_edges[:, 1:]
+        mask = jnp.ones_like(t_starts, dtype=bool)
+        positions = o[:, None, :] + d_unit[:, None, :] * (
+            (t_starts + t_ends) / 2.0
+        )[..., None]
+        flat_pos = positions.reshape(-1, 3)
+        density, geo_feat = field_density(params, self.field_config, flat_pos)
+        density = density.reshape(R, S)
+        flat_dirs = jnp.broadcast_to(d_unit[:, None, :], (R, S, 3)).reshape(-1, 3)
+        flat_cam = jnp.broadcast_to(cam_idx[:, None], (R, S)).reshape(-1)
+        heads = field_outputs(
+            params, self.field_config, flat_pos, flat_dirs, flat_cam,
+            geo_feat, train=train,
+        )
+        heads = {k: v.reshape(R, S, -1) for k, v in heads.items()}
+        if cfg.use_gradient_scaling:
+            scaling = jnp.clip(((t_starts + t_ends) / 2.0) ** 2, 0.0, 1.0)
+            density = _grad_scale(density, scaling)
+            heads = {k: _grad_scale(v, scaling[..., None]) for k, v in heads.items()}
+        weights = render_weights(t_starts, t_ends, density, mask,
+                                 alpha_thre=0.0, early_stop_eps=0.0)
+
+        outputs: Dict[str, jnp.ndarray] = {
+            "accumulation": render_accumulation(weights),
+            "depth": render_depth_expected(weights, t_starts, t_ends, mask),
+            "num_samples_per_ray": jnp.full((R,), S, dtype=jnp.int32),
+        }
+        if cfg.method == "rgb":
+            outputs["rgb"] = accumulate(weights, heads["rgb"])
+        if "spectral" in cfg.method:
+            spectral = accumulate(weights, heads["spectral"])
+            outputs["spectral"] = spectral
+            if cfg.pred_specular:
+                outputs["spectral2"] = accumulate(weights, heads["spectral2"])
+                outputs["specular"] = jax.lax.stop_gradient(
+                    accumulate(weights, heads["specular"])
+                )
+            rgb = self.converter(spectral)
+            outputs["rgb"] = (
+                jax.lax.stop_gradient(rgb) if cfg.method == "spectral" else rgb
+            )
+            outputs["abundances"] = jax.lax.stop_gradient(
+                accumulate(weights, heads["abundances"])
+            )
+            inner_products, cluster_probs = cluster_probe(
+                spectral, params["endmembers"], alpha=0.2
+            )
+            acc_if = (outputs["accumulation"] > 0.5).astype(jnp.float32)
+            outputs["seg_probs"] = cluster_probs
+            labels = jnp.argmax(cluster_probs, axis=1)
+            outputs["seg_raw"] = jax.lax.stop_gradient(
+                labels.astype(jnp.float32) * acc_if[:, 0]
+            )
+            outputs["seg_pred"] = jax.lax.stop_gradient(label_to_rgb(labels) * acc_if)
+
+        if train:
+            # proposal supervision aux for the loss (s-space histograms)
+            for i, (e, w) in enumerate(zip(aux_edges, aux_weights)):
+                outputs[f"prop_edges_{i}"] = e
+                outputs[f"prop_weights_{i}"] = w
+            outputs["final_edges"] = s_edges
+            outputs["final_weights"] = weights
+        return outputs
+
     # ------------------------------------------------------------------
     # losses / metrics
     # ------------------------------------------------------------------
@@ -433,6 +583,21 @@ class UMHSModel:
             )
         else:
             raise ValueError(f"unknown method {cfg.method}")
+
+        if "final_edges" in outputs:
+            il = sum(
+                interlevel_loss(
+                    outputs[f"prop_edges_{i}"],
+                    outputs[f"prop_weights_{i}"],
+                    outputs["final_edges"],
+                    outputs["final_weights"],
+                )
+                for i in range(len(cfg.num_proposal_samples))
+            )
+            loss_dict["interlevel_loss"] = cfg.interlevel_loss_mult * il
+            loss_dict["distortion_loss"] = cfg.distortion_loss_mult * distortion_loss(
+                outputs["final_edges"], outputs["final_weights"]
+            )
 
         if cfg.pred_dino and "dino_feat" in batch:
             diff = (outputs["dino"] - batch["dino_feat"]) ** 2
