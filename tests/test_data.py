@@ -234,3 +234,175 @@ class TestPlyPoints:
         out = load_ply_points(tmp_path / "b.ply", np.eye(4)[:3], 1.0)
         np.testing.assert_allclose(out["points3D_xyz"][:, 0], [1, 2, 3], atol=1e-6)
         assert "points3D_rgb" not in out
+
+
+class TestMaskAndPatchSampling:
+    """Mask-aware + patch-based pixel sampling (reference mask_path
+    collection umhs_dataparser.py:203-213; patch_size umhs_datamanager.py:57)."""
+
+    def _data(self):
+        n, h, w = 3, 16, 16
+        key = jax.random.PRNGKey(0)
+        data = {"image": jax.random.uniform(key, (n, h, w, 3))}
+        cam = {
+            "c2w": jnp.tile(jnp.eye(4)[None, :3], (n, 1, 1)),
+            "fx": jnp.full((n,), 20.0),
+            "fy": jnp.full((n,), 20.0),
+            "cx": jnp.full((n,), w / 2.0),
+            "cy": jnp.full((n,), h / 2.0),
+        }
+        return data, cam, (n, h, w)
+
+    def test_masked_pixels_never_sampled(self):
+        data, cam, (n, h, w) = self._data()
+        # mask out the left half of every frame
+        mask = np.zeros((n, h, w), dtype=bool)
+        mask[:, :, w // 2 :] = True
+        data["valid_indices"] = jnp.asarray(
+            np.flatnonzero(mask.reshape(-1)).astype(np.int32)
+        )
+        rays, batch = sample_pixel_batch(data, cam, jax.random.PRNGKey(1), 512)
+        idx = np.asarray(batch["indices"])
+        assert (idx[:, 2] >= w // 2).all()  # only unmasked columns
+        assert "valid_indices" not in batch
+        # values still gathered correctly
+        src = np.asarray(data["image"])[idx[:, 0], idx[:, 1], idx[:, 2]]
+        np.testing.assert_allclose(np.asarray(batch["image"]), src, atol=1e-6)
+
+    def test_patch_sampling_contiguous(self):
+        data, cam, (n, h, w) = self._data()
+        p = 4
+        rays, batch = sample_pixel_batch(
+            data, cam, jax.random.PRNGKey(2), 8 * p * p, patch_size=p
+        )
+        idx = np.asarray(batch["indices"]).reshape(8, p, p, 3)
+        # each block: one image, contiguous rows/cols
+        assert (np.ptp(idx[..., 0], axis=(1, 2)) == 0).all()
+        for a in range(8):
+            r0, c0 = idx[a, 0, 0, 1], idx[a, 0, 0, 2]
+            np.testing.assert_array_equal(
+                idx[a, :, :, 1], np.broadcast_to(r0 + np.arange(p)[:, None], (p, p))
+            )
+            np.testing.assert_array_equal(
+                idx[a, :, :, 2], np.broadcast_to(c0 + np.arange(p)[None, :], (p, p))
+            )
+        assert idx[..., 1].max() < h and idx[..., 2].max() < w
+
+    def test_masked_patch_anchors_valid(self):
+        data, cam, (n, h, w) = self._data()
+        mask = np.zeros((n, h, w), dtype=bool)
+        mask[:, 4:12, 4:12] = True
+        data["valid_indices"] = jnp.asarray(
+            np.flatnonzero(mask.reshape(-1)).astype(np.int32)
+        )
+        p = 4
+        f = jax.jit(
+            lambda k: sample_pixel_batch(data, cam, k, 4 * p * p, patch_size=p)
+        )
+        rays, batch = f(jax.random.PRNGKey(3))
+        idx = np.asarray(batch["indices"])
+        # patches clamp inside the image and straddle the valid region
+        assert idx[:, 1].min() >= 0 and idx[:, 1].max() < h
+        assert idx[:, 2].min() >= 0 and idx[:, 2].max() < w
+
+    def test_dataset_valid_indices_from_masks(self, dataset_dir, tmp_path, monkeypatch):
+        """End-to-end: mask PNGs on disk -> dataset masks -> valid indices."""
+        from PIL import Image
+
+        monkeypatch.chdir(tmp_path)
+        # write mask PNGs + a transforms.json referencing them
+        src = json.loads((Path(dataset_dir) / "transforms.json").read_text())
+        root = tmp_path / "masked_scene"
+        root.mkdir()
+        (root / "masks").mkdir()
+        import shutil
+
+        for item in Path(dataset_dir).iterdir():
+            if item.name != "transforms.json":
+                if item.is_dir():
+                    shutil.copytree(item, root / item.name)
+                else:
+                    shutil.copy(item, root / item.name)
+        for fr in src["frames"]:
+            name = Path(fr["file_path"]).stem + ".png"
+            m = np.zeros((32, 32), dtype=np.uint8)
+            m[:, 16:] = 255
+            Image.fromarray(m).save(root / "masks" / name)
+            fr["mask_path"] = f"masks/{name}"
+        (root / "transforms.json").write_text(json.dumps(src))
+
+        dm = UMHSDataManager(
+            DataManagerConfig(dataparser=DataParserConfig(data=root)),
+            num_classes=2,
+        )
+        vi = dm.train_dataset.valid_indices()
+        assert vi is not None
+        cols = vi % 32
+        assert (cols >= 16).all()
+        data, cam = dm.train_device_data()
+        assert "valid_indices" in data
+        rays, batch = sample_pixel_batch(data, cam, jax.random.PRNGKey(4), 128)
+        assert (np.asarray(batch["indices"])[:, 2] >= 16).all()
+
+
+class TestCameraModels:
+    """Fisheye / equirectangular ray generation with hand-computed goldens
+    (reference camera model selection: umhs_dataparser.py:334-337)."""
+
+    def _cam(self, n=1, fx=100.0, fy=100.0, cx=50.0, cy=50.0):
+        return {
+            "c2w": jnp.tile(jnp.eye(4)[None, :3], (n, 1, 1)),
+            "fx": jnp.full((n,), fx),
+            "fy": jnp.full((n,), fy),
+            "cx": jnp.full((n,), cx),
+            "cy": jnp.full((n,), cy),
+        }
+
+    def test_fisheye_center_and_edge(self):
+        cam = self._cam()
+        idx = jnp.zeros((3,), jnp.int32)
+        # pixel centers: principal point, theta=0.5 rad right, 0.5 rad up
+        rows = jnp.array([49.5, 49.5, -0.5])
+        cols = jnp.array([49.5, 99.5, 49.5])
+        rays = generate_rays(cam, idx, rows, cols, camera_type="OPENCV_FISHEYE")
+        d = np.asarray(rays["directions"])
+        # principal point looks straight down -z
+        np.testing.assert_allclose(d[0], [0, 0, -1], atol=1e-6)
+        # 50px right at fx=100 -> theta = 0.5 rad in +x
+        np.testing.assert_allclose(
+            d[1], [np.sin(0.5), 0.0, -np.cos(0.5)], atol=1e-6
+        )
+        # 50px up -> theta = 0.5 rad in +y (image v grows downward)
+        np.testing.assert_allclose(
+            d[2], [0.0, np.sin(0.5), -np.cos(0.5)], atol=1e-6
+        )
+
+    def test_equirectangular_golden(self):
+        # 360 pano: W=360, H=180, cx=W/2, fx=W/2, cy=H/2, fy=H/2
+        cam = self._cam(fx=180.0, fy=90.0, cx=180.0, cy=90.0)
+        idx = jnp.zeros((4,), jnp.int32)
+        rows = jnp.array([89.5, 89.5, 89.5, -0.5 + 45.0])
+        cols = jnp.array([179.5, 89.5, 359.5, 179.5])
+        rays = generate_rays(cam, idx, rows, cols, camera_type="EQUIRECTANGULAR")
+        d = np.asarray(rays["directions"])
+        # center -> -z
+        np.testing.assert_allclose(d[0], [0, 0, -1], atol=1e-6)
+        # quarter-pano left (x_n=-0.5): theta=+pi/2 -> +x
+        np.testing.assert_allclose(d[1], [1, 0, 0], atol=1e-6)
+        # extreme right edge (x_n ~ 1): theta ~ -pi -> +z (behind)
+        np.testing.assert_allclose(d[2], [0, 0, 1], atol=1e-2)
+        # 45 deg up from center (y_n=-0.5): phi=+pi/4
+        s = np.sin(np.pi / 4)
+        np.testing.assert_allclose(d[3], [0, s, -s], atol=1e-6)
+
+    def test_unit_norm_and_jit(self):
+        cam = self._cam()
+        idx = jnp.zeros((64,), jnp.int32)
+        rows = jnp.linspace(0, 99, 64)
+        cols = jnp.linspace(0, 99, 64)
+        for ct in ("OPENCV_FISHEYE", "EQUIRECTANGULAR", "PERSPECTIVE"):
+            f = jax.jit(
+                lambda r, c, ct=ct: generate_rays(cam, idx, r, c, camera_type=ct)
+            )
+            d = np.asarray(f(rows, cols)["directions"])
+            np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-5)

@@ -112,7 +112,6 @@ _IGNORED = {
     "viewer.num_rays_per_chunk",
     "pipeline.model.implementation",
     "pipeline.datamanager.images_on_gpu",
-    "pipeline.datamanager.patch_size",
     "logging.local_writer.enable",
 }
 

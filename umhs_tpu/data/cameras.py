@@ -85,10 +85,15 @@ def generate_rays(
     camera_indices: jnp.ndarray,
     pixel_rows: jnp.ndarray,
     pixel_cols: jnp.ndarray,
+    camera_type: str = "PERSPECTIVE",
 ) -> Dict[str, jnp.ndarray]:
     """Generate world-space rays for (camera, row, col) index triples.
 
     cam: device dict from Cameras.to_device_dict().
+    camera_type: static per-dataset camera model (the reference takes it
+    from transforms.json meta, umhs_dataparser.py:334-337; nerfstudio
+    implements PERSPECTIVE/OPENCV, OPENCV_FISHEYE and EQUIRECTANGULAR).
+    Kept a Python string (static under jit) rather than a traced leaf.
     Returns {"origins", "directions" (unit), "camera_indices"}.
     """
     idx = camera_indices.astype(jnp.int32)
@@ -102,12 +107,34 @@ def generate_rays(
     v = pixel_rows.astype(jnp.float32) + 0.5
     x = (u - cx) / fx
     y = (v - cy) / fy
-    if "distortion" in cam:
+    if "distortion" in cam and camera_type != "EQUIRECTANGULAR":
         dist = jnp.take(cam["distortion"], idx, axis=0)
         x, y = _undistort_radial(x, y, dist)
 
     # OpenGL camera: +x right, +y up, looking down -z; image v grows downward
-    dirs_cam = jnp.stack([x, -y, -jnp.ones_like(x)], axis=-1)  # (R, 3)
+    if camera_type in ("PERSPECTIVE", "OPENCV"):
+        dirs_cam = jnp.stack([x, -y, -jnp.ones_like(x)], axis=-1)  # (R, 3)
+    elif camera_type == "OPENCV_FISHEYE":
+        # equidistant projection: radius in the normalised image plane IS the
+        # polar angle theta (nerfstudio CameraType.FISHEYE)
+        theta = jnp.clip(jnp.sqrt(x * x + y * y), 1e-9, jnp.pi)
+        sin_over_theta = jnp.sin(theta) / theta
+        dirs_cam = jnp.stack(
+            [x * sin_over_theta, -y * sin_over_theta, -jnp.cos(theta)], axis=-1
+        )
+    elif camera_type == "EQUIRECTANGULAR":
+        # normalised coords span [-1, 1] across the pano (cx=W/2, fx=W/2,
+        # cy=H/2, fy=H/2): longitude theta around +y, latitude phi toward +y;
+        # the image centre looks down -z
+        theta = -jnp.pi * x
+        phi = -0.5 * jnp.pi * y  # v grows downward -> negative latitude
+        cos_phi = jnp.cos(phi)
+        dirs_cam = jnp.stack(
+            [jnp.sin(theta) * cos_phi, jnp.sin(phi), -jnp.cos(theta) * cos_phi],
+            axis=-1,
+        )
+    else:
+        raise ValueError(f"unknown camera_type {camera_type!r}")
     dirs_world = jnp.einsum("rij,rj->ri", c2w[:, :, :3], dirs_cam)
     dirs_world = dirs_world / jnp.linalg.norm(dirs_world, axis=-1, keepdims=True)
     origins = c2w[:, :, 3]
@@ -119,7 +146,11 @@ def generate_rays(
 
 
 def generate_camera_rays(
-    cam: Dict[str, jnp.ndarray], camera_index: int, height: int, width: int
+    cam: Dict[str, jnp.ndarray],
+    camera_index: int,
+    height: int,
+    width: int,
+    camera_type: str = "PERSPECTIVE",
 ) -> Dict[str, jnp.ndarray]:
     """All pixel rays of one camera, row-major: (H*W,) ray dict."""
     rows, cols = jnp.meshgrid(
@@ -129,4 +160,6 @@ def generate_camera_rays(
     )
     n = height * width
     idx = jnp.full((n,), camera_index, dtype=jnp.int32)
-    return generate_rays(cam, idx, rows.reshape(-1), cols.reshape(-1))
+    return generate_rays(
+        cam, idx, rows.reshape(-1), cols.reshape(-1), camera_type=camera_type
+    )

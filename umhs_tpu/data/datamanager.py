@@ -39,27 +39,72 @@ def sample_pixel_batch(
     cam: Dict[str, jnp.ndarray],
     rng: jax.Array,
     batch_size: int,
+    patch_size: int = 1,
+    camera_type: str = "PERSPECTIVE",
 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
-    """Uniformly sample `batch_size` pixels across all frames; gather values
-    and generate their rays. Pure function — call under jit.
+    """Sample `batch_size` pixels across all frames; gather values and
+    generate their rays. Pure function — call under jit.
 
-    data: {"image": (N,H,W,C), optional "hs_image": (N,H,W,B), ...}
+    data: {"image": (N,H,W,C), optional "hs_image": (N,H,W,B), ...}. An
+    optional "valid_indices" key ((V,) int32 flat img*H*W+row*W+col ids,
+    host-precomputed from the frame masks) restricts sampling to unmasked
+    pixels — the static-shape analogue of nerfstudio's mask-aware
+    PixelSampler (reference mask_path collection,
+    /root/reference/umhsnerf/data/umhs_dataparser.py:203-213).
+
+    patch_size > 1 emits contiguous patch_size x patch_size pixel blocks
+    (batch_size must be divisible by patch_size^2), matching the reference
+    datamanager's patch_size flag (umhs_datamanager.py:57). With masks,
+    patches are centred on valid pixels and clamped to the image bounds.
+
     Returns (rays, batch) where batch values are (batch_size, C) float32.
     """
     images = data["image"]
     n, h, w = images.shape[:3]
-    k1, k2, k3 = jax.random.split(rng, 3)
-    img_idx = jax.random.randint(k1, (batch_size,), 0, n)
-    rows = jax.random.randint(k2, (batch_size,), 0, h)
-    cols = jax.random.randint(k3, (batch_size,), 0, w)
+    valid = data.get("valid_indices")
+
+    def _draw(key, count):
+        """(img, row, col) for `count` pixels, honouring the valid set."""
+        if valid is not None:
+            sel = jax.random.randint(key, (count,), 0, valid.shape[0])
+            flat = jnp.take(valid, sel, axis=0)
+            return flat // (h * w), (flat // w) % h, flat % w
+        k1, k2, k3 = jax.random.split(key, 3)
+        return (
+            jax.random.randint(k1, (count,), 0, n),
+            jax.random.randint(k2, (count,), 0, h),
+            jax.random.randint(k3, (count,), 0, w),
+        )
+
+    if patch_size > 1:
+        p = patch_size
+        assert batch_size % (p * p) == 0, (
+            f"batch_size {batch_size} not divisible by patch_size^2 {p * p}"
+        )
+        n_anchor = batch_size // (p * p)
+        img_a, r_a, c_a = _draw(rng, n_anchor)
+        r_a = jnp.clip(r_a - p // 2, 0, h - p)
+        c_a = jnp.clip(c_a - p // 2, 0, w - p)
+        dr = jnp.arange(p, dtype=r_a.dtype)
+        rows = jnp.broadcast_to(
+            r_a[:, None, None] + dr[None, :, None], (n_anchor, p, p)
+        ).reshape(-1)
+        cols = jnp.broadcast_to(
+            c_a[:, None, None] + dr[None, None, :], (n_anchor, p, p)
+        ).reshape(-1)
+        img_idx = jnp.repeat(img_a, p * p)
+    else:
+        img_idx, rows, cols = _draw(rng, batch_size)
 
     batch = {}
     for key, arr in data.items():
+        if key == "valid_indices":
+            continue
         vals = arr[img_idx, rows, cols]
         batch[key] = vals.astype(jnp.float32) if vals.dtype != jnp.int32 else vals
     batch["indices"] = jnp.stack([img_idx, rows, cols], axis=-1)
 
-    rays = generate_rays(cam, img_idx, rows, cols)
+    rays = generate_rays(cam, img_idx, rows, cols, camera_type=camera_type)
     return rays, batch
 
 
@@ -111,6 +156,9 @@ class UMHSDataManager:
                     staged[k] = jnp.asarray(v, dtype=jnp.int32)
                 else:
                     staged[k] = jnp.asarray(v, dtype=jnp.float32)
+            vi = self.train_dataset.valid_indices()
+            if vi is not None:
+                staged["valid_indices"] = jnp.asarray(vi)
             self._train_device_data = staged
             self._train_cam = self.train_outputs.cameras.to_device_dict()
         return self._train_device_data, self._train_cam
@@ -120,7 +168,9 @@ class UMHSDataManager:
         cam = self.eval_outputs.cameras.to_device_dict()
         h = int(self.eval_outputs.cameras.height[idx])
         w = int(self.eval_outputs.cameras.width[idx])
-        rays = generate_camera_rays(cam, idx, h, w)
+        rays = generate_camera_rays(
+            cam, idx, h, w, camera_type=self.eval_outputs.cameras.camera_type
+        )
         batch = {
             k: jnp.asarray(v[idx]) for k, v in self.eval_dataset.arrays().items()
         }

@@ -66,6 +66,21 @@ class HyperspectralDataset:
             # multithreaded native staging (gigabytes for 141-band scenes)
             self.hs_images = parallel_load_cubes(hs_files, first.shape)
 
+        # per-frame validity masks (nerfstudio PixelSampler semantics: only
+        # nonzero-mask pixels may be sampled; reference collects mask_path at
+        # umhs_dataparser.py:203-213)
+        self.masks: Optional[np.ndarray] = None
+        if outputs.mask_filenames:
+            from PIL import Image
+
+            masks = []
+            for p in outputs.mask_filenames:
+                m = np.asarray(Image.open(p))
+                if m.ndim == 3:
+                    m = m[..., 0]
+                masks.append(m > 0)
+            self.masks = np.stack(masks)
+
         seg_files = outputs.metadata.get("seg_filenames")
         self.seg_images: Optional[np.ndarray] = None
         if seg_files:
@@ -108,6 +123,15 @@ class HyperspectralDataset:
         if self.dino_feats is not None:
             keys.append("dino_feat")
         return keys
+
+    def valid_indices(self) -> Optional[np.ndarray]:
+        """Flat (img*H*W + row*W + col) indices of maskable pixels, or None
+        when the split has no masks. Precomputed once on the host so the
+        jitted pixel sampler draws uniformly from the valid set only — the
+        static-shape equivalent of nerfstudio's mask-aware PixelSampler."""
+        if self.masks is None:
+            return None
+        return np.flatnonzero(self.masks.reshape(-1)).astype(np.int32)
 
     def arrays(self) -> Dict[str, np.ndarray]:
         out = {"image": self.images}
