@@ -190,3 +190,94 @@ class TestHashEncodingLaneLayout:
         assert all(r in dense_rows for r in sto_rows)
         # and strictly fewer rows (one corner instead of eight)
         assert len(sto_rows) < len(dense_rows)
+
+
+class TestTetrahedralInterpolation:
+    """4-vertex simplex interpolation (ops/encodings.py tetrahedral mode):
+    half the gather rows of trilinear; must be exact at corners, convex,
+    continuous, with a consistent custom VJP."""
+
+    import dataclasses as _dc
+
+    CFG = _dc.replace(TestHashEncoding.CFG, interpolation="tetrahedral")
+
+    def test_exact_at_grid_corners(self):
+        # single dense level: at integer corner coords the encoding must
+        # equal the table row exactly (all schemes agree at corners)
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            self.CFG, num_levels=1, base_resolution=4, max_resolution=4
+        )
+        table = init_hash_table(jax.random.PRNGKey(0), cfg) * 1e4
+        res = cfg.resolutions[0]
+        scale = cfg.scales[0]
+        t2 = table.reshape(-1, cfg.features_per_level)
+        for corner in [(0, 0, 0), (1, 2, 3), (3, 3, 3)]:
+            # tcnn convention: grid coord = pos*scale + 0.5
+            pos = jnp.asarray([(c - 0.5) / scale for c in corner])[None]
+            out = np.asarray(hash_encode(table, pos, cfg))[0]
+            idx = corner[0] + corner[1] * res + corner[2] * res * res
+            np.testing.assert_allclose(out, np.asarray(t2[idx]), rtol=1e-4)
+
+    def test_weights_are_barycentric(self):
+        from umhs_tpu.ops.encodings import _lane_iw_tetra
+
+        cfg = self.CFG
+        x = jax.random.uniform(jax.random.PRNGKey(1), (50, 3))
+        idx, w, lane = _lane_iw_tetra(x, cfg)
+        assert idx.shape == w.shape == (50, cfg.num_levels * 4)
+        wl = np.asarray(w).reshape(50, cfg.num_levels, 4)
+        np.testing.assert_allclose(wl.sum(-1), 1.0, atol=1e-5)
+        assert (wl >= -1e-6).all()
+
+    def test_continuity(self):
+        cfg = self.CFG
+        table = init_hash_table(jax.random.PRNGKey(2), cfg) * 1e4
+        # cross a cell face and a diagonal (sorting-order change)
+        for x0 in ([0.37, 0.52, 0.81], [0.5, 0.5, 0.5], [0.3, 0.3, 0.3]):
+            x = jnp.asarray([x0])
+            eps = 1e-6
+            a = hash_encode(table, x, cfg)
+            for delta in ([eps, 0, 0], [0, eps, 0], [eps, eps, eps], [-eps, eps, 0]):
+                b = hash_encode(table, x + jnp.asarray([delta]), cfg)
+                assert np.abs(np.asarray(a - b)).max() < 1e-2
+
+    def test_custom_vjp_matches_autodiff_of_impl(self):
+        from umhs_tpu.ops.encodings import _hash_encode_impl
+
+        cfg = self.CFG
+        table = init_hash_table(jax.random.PRNGKey(3), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(4), (29, 3))
+        cot = jax.random.normal(jax.random.PRNGKey(5), (29, cfg.output_dim))
+
+        g_vjp = jax.grad(lambda t: jnp.sum(hash_encode(t, x, cfg) * cot))(table)
+        g_auto = jax.grad(
+            lambda t: jnp.sum(_hash_encode_impl(t, x, cfg) * cot)
+        )(table)
+        np.testing.assert_allclose(
+            np.asarray(g_vjp), np.asarray(g_auto), rtol=1e-4, atol=1e-7
+        )
+
+    def test_stochastic_grad_mass_preserved(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(self.CFG, stochastic_grad=True)
+        table = init_hash_table(jax.random.PRNGKey(6), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(7), (64, 3))
+        cot = jax.random.normal(jax.random.PRNGKey(8), (64, cfg.output_dim))
+        g_sto = jax.grad(lambda t: jnp.sum(hash_encode(t, x, cfg) * cot))(table)
+        g_dense = jax.grad(
+            lambda t: jnp.sum(hash_encode(t, x, self.CFG) * cot)
+        )(table)
+        np.testing.assert_allclose(
+            np.asarray(g_sto.sum()), np.asarray(g_dense.sum()), rtol=1e-4
+        )
+
+    def test_fewer_lanes_than_trilinear(self):
+        from umhs_tpu.ops.encodings import _lane_indices_weights
+
+        x = jax.random.uniform(jax.random.PRNGKey(9), (8, 3))
+        idx_t, _, _ = _lane_indices_weights(x, self.CFG)
+        idx_8, _, _ = _lane_indices_weights(x, TestHashEncoding.CFG)
+        assert idx_t.shape[1] * 2 == idx_8.shape[1]

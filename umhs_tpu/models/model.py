@@ -79,6 +79,9 @@ class ModelConfig:
     # features (e.g. 8x4) halves gather cost at equal encoding width
     hash_num_levels: int = 16
     hash_features_per_level: int = 2
+    # "trilinear" (tcnn parity) or "tetrahedral" (4 simplex vertices —
+    # half the table-row gathers per sample; see ops/encodings.py)
+    hash_interpolation: str = "trilinear"
     alpha_thre: float = 0.01
     cone_angle: float = 0.004
     render_step_size: Optional[float] = None
@@ -181,6 +184,7 @@ class UMHSModel:
                 log2_hashmap_size=config.log2_hashmap_size,
                 max_resolution=config.max_res,
                 stochastic_grad=config.stochastic_hash_grad,
+                interpolation=config.hash_interpolation,
             ),
             compute_dtype=jnp.bfloat16
             if config.compute_dtype == "bfloat16"
@@ -298,6 +302,14 @@ class UMHSModel:
             # (scatter-free; see compositing.segment_accumulate).
             flat_mask = mask.reshape(-1)
             slot = jnp.cumsum(flat_mask.astype(jnp.int32)) - flat_mask.astype(jnp.int32)
+            # Defensive clamp: the marcher's per-ray min-1 bump can push the
+            # batch total past the compact budget (sum(budget) > B when more
+            # rays have >=1 occupied candidate than the scaled budget allows).
+            # Drop overflow samples here so the slot->density gather below can
+            # never read a wrong compact row; counts/weights are recomputed
+            # from the clamped mask.
+            flat_mask = flat_mask & (slot < B)
+            mask = flat_mask.reshape(R, S)
             total = jnp.sum(flat_mask.astype(jnp.int32))
             src = (
                 jnp.zeros((B,), jnp.int32)
@@ -340,7 +352,7 @@ class UMHSModel:
                 alpha_thre=alpha_thre, early_stop_eps=cfg.early_stop_eps,
             )
             w_c = jnp.take(weights.reshape(-1), src, axis=0, mode="clip") * live
-            counts = march["num_samples"].astype(jnp.int32)  # (R,)
+            counts = jnp.sum(mask.astype(jnp.int32), axis=-1)  # (R,) clamped
             starts = jnp.cumsum(counts) - counts
 
             def reduce_c(values_c):
@@ -602,10 +614,14 @@ class UMHSModel:
         if cfg.pred_dino and "dino_feat" in batch:
             diff = (outputs["dino"] - batch["dino_feat"]) ** 2
             loss_dict["dino_mse"] = jnp.nanmean(diff)
-            if step > 3000:
-                loss_dict["cluster_loss"] = -jnp.mean(
-                    jnp.sum(outputs["cluster_probs"] * outputs["inner_products"], axis=1)
-                )
+            # `step` is a traced int32 inside the jitted/scanned train step —
+            # gate the cluster loss with a traced 0/1 weight, not Python
+            # control flow (reference enables it after step 3000,
+            # umhs_model.py:376-381).
+            cluster_w = jnp.where(jnp.asarray(step) > 3000, 1.0, 0.0)
+            loss_dict["cluster_loss"] = cluster_w * -jnp.mean(
+                jnp.sum(outputs["cluster_probs"] * outputs["inner_products"], axis=1)
+            )
         return loss_dict
 
     def _blend_background_for_loss(self, pred_rgb, accumulation, gt_image, rng):

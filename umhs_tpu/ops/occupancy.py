@@ -164,8 +164,30 @@ def update_occ_state(
         cell_flat = jnp.tile(jnp.arange(res3, dtype=jnp.int32), L)
         level = jnp.repeat(jnp.arange(L, dtype=jnp.int32), res3)
     else:
+        # nerfacc _sample_uniform_and_occupied_cells: half uniform cells,
+        # half drawn from currently-occupied cells, so stale occupied cells
+        # are re-evaluated at the reference rate (pruning-speed parity).
+        # Occupied draw: uniform rank in the per-level occupied count,
+        # inverted through the running count with searchsorted (static
+        # shapes); levels with no occupied cells fall back to uniform.
         m = int(res3 * sample_fraction)
-        cell_flat = jax.random.randint(k_cells, (L * m,), 0, res3, dtype=jnp.int32)
+        m_occ = m // 2
+        m_uni = m - m_occ
+        k_cells, k_fall, k_rank = jax.random.split(k_cells, 3)
+        uni = jax.random.randint(k_cells, (L, m_uni), 0, res3, dtype=jnp.int32)
+        bin_lvl = state["binaries"].reshape(L, res3)
+        cum = jnp.cumsum(bin_lvl.astype(jnp.int32), axis=1)  # (L, res3)
+        count = cum[:, -1]  # (L,)
+        u = jax.random.uniform(k_rank, (L, m_occ))
+        rank = jnp.floor(u * count[:, None].astype(jnp.float32)).astype(jnp.int32)
+        occ_idx = jax.vmap(
+            lambda c, r: jnp.searchsorted(c, r, side="right")
+        )(cum, rank).astype(jnp.int32)
+        fallback = jax.random.randint(k_fall, (L, m_occ), 0, res3, dtype=jnp.int32)
+        occ_idx = jnp.where(
+            count[:, None] > 0, jnp.minimum(occ_idx, res3 - 1), fallback
+        )
+        cell_flat = jnp.concatenate([uni, occ_idx], axis=1).reshape(-1)
         level = jnp.repeat(jnp.arange(L, dtype=jnp.int32), m)
 
     jitter = jax.random.uniform(k_jit, (cell_flat.shape[0], 3))
