@@ -6,9 +6,10 @@ SSIM (11x11 Gaussian window, standard constants), Spectral Angle Mapper
 (per-pixel angle, nanmean-reduced), RMSE. Host-side numpy implementations —
 these run on full eval images, not in the train hot loop.
 
-LPIPS requires pretrained VGG weights which cannot be downloaded in the
-zero-egress environment; `lpips()` returns None unless a local torchvision
-cache is present (eval-only metric in the reference as well).
+LPIPS uses ImageNet VGG16 weights when a local torchvision cache exists;
+in zero-egress environments it falls back to a *seeded random* VGG16
+feature stack (variant recorded in LPIPS_VARIANT) so eval always reports a
+perceptual distance (eval-only metric in the reference as well).
 """
 
 from __future__ import annotations
@@ -97,21 +98,63 @@ def mse2psnr(mse: float) -> float:
 
 _LPIPS_CACHE = {}
 
+#: which feature extractor lpips() ended up using:
+#: "vgg16_imagenet" (local pretrained cache) or "vgg16_random" (seeded
+#: random init — the zero-egress fallback; randomly-initialised conv
+#: features are a known usable perceptual metric [Amir & Weiss 2021],
+#: comparable *within* a run but not across differently-seeded extractors).
+LPIPS_VARIANT: Optional[str] = None
+
+
+# VGG16 conv trunk: out-channels per conv, 'M' = 2x2 maxpool
+_VGG16_CFG = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+              512, 512, 512, "M", 512, 512, 512, "M")
+
+
+def _build_vgg_features():
+    """VGG16 feature stack: ImageNet-pretrained when torchvision + a local
+    weight cache are available; otherwise the same architecture built in
+    plain torch with deterministic random init (seed 0)."""
+    global LPIPS_VARIANT
+    import torch
+
+    try:
+        import torchvision
+
+        vgg = torchvision.models.vgg16(
+            weights=torchvision.models.VGG16_Weights.IMAGENET1K_V1
+        )
+        LPIPS_VARIANT = "vgg16_imagenet"
+        return vgg.features.eval(), torch
+    except Exception:
+        pass
+    torch.manual_seed(0)
+    layers, c_in = [], 3
+    for spec in _VGG16_CFG:
+        if spec == "M":
+            layers.append(torch.nn.MaxPool2d(2, 2))
+        else:
+            layers.append(torch.nn.Conv2d(c_in, spec, 3, padding=1))
+            layers.append(torch.nn.ReLU(inplace=True))
+            c_in = spec
+    LPIPS_VARIANT = "vgg16_random"
+    return torch.nn.Sequential(*layers).eval(), torch
+
 
 def lpips(pred: np.ndarray, gt: np.ndarray) -> Optional[float]:
-    """LPIPS(VGG16) if pretrained weights are available locally, else None.
+    """LPIPS-style perceptual distance over VGG16 feature maps.
 
-    pred/gt: (H, W, 3) in [0, 1].
+    Uses ImageNet-pretrained weights when a local torchvision cache is
+    present; otherwise a seeded randomly-initialised VGG16 (see
+    LPIPS_VARIANT). Returns None only if torch/torchvision are unavailable.
+
+    pred/gt: (H, W, 3) in [0, 1]. Reference computes LPIPS per eval image
+    (/root/reference/umhsnerf/umhs_model.py:432).
     """
     try:
         if "model" not in _LPIPS_CACHE:
-            import torch
-            import torchvision
-
-            vgg = torchvision.models.vgg16(
-                weights=torchvision.models.VGG16_Weights.IMAGENET1K_V1
-            )
-            _LPIPS_CACHE["model"] = vgg.features.eval()
+            model, torch = _build_vgg_features()
+            _LPIPS_CACHE["model"] = model
             _LPIPS_CACHE["torch"] = torch
         torch = _LPIPS_CACHE["torch"]
         feats = _LPIPS_CACHE["model"]

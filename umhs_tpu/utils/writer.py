@@ -18,6 +18,11 @@ class Writer:
     def write(self, step: int, metrics: Dict[str, float]) -> None:
         raise NotImplementedError
 
+    def write_image(self, step: int, name: str, image) -> None:
+        """Log an (H, W, 3) float [0,1] image (no-op unless the backend
+        supports images — the reference ships gt|pred / depth / accumulation
+        composites through its writer, umhs_model.py:407-512)."""
+
     def close(self) -> None:
         pass
 
@@ -53,20 +58,40 @@ class TensorboardWriter(Writer):
             except (TypeError, ValueError):
                 pass
 
+    def write_image(self, step: int, name: str, image) -> None:
+        import numpy as np
+
+        self.tb.add_image(
+            name, np.clip(np.asarray(image), 0.0, 1.0), step, dataformats="HWC"
+        )
+
     def close(self) -> None:
         self.tb.close()
 
 
 class WandbWriter(Writer):
     def __init__(self, project: str = "unmixNeRF", name: Optional[str] = None):
+        import os
+
         import wandb
 
-        self.run = wandb.init(project=project, name=name, mode="offline")
+        # default offline (zero-egress environments); override with
+        # WANDB_MODE=online for a networked run
+        self.run = wandb.init(
+            project=project, name=name, mode=os.environ.get("WANDB_MODE", "offline")
+        )
 
     def write(self, step: int, metrics: Dict[str, float]) -> None:
         import wandb
 
         wandb.log(metrics, step=step)
+
+    def write_image(self, step: int, name: str, image) -> None:
+        import numpy as np
+        import wandb
+
+        img = (np.clip(np.asarray(image), 0.0, 1.0) * 255).astype(np.uint8)
+        wandb.log({name: wandb.Image(img)}, step=step)
 
     def close(self) -> None:
         self.run.finish()
@@ -79,6 +104,10 @@ class MultiWriter(Writer):
     def write(self, step: int, metrics: Dict[str, float]) -> None:
         for w in self.writers:
             w.write(step, metrics)
+
+    def write_image(self, step: int, name: str, image) -> None:
+        for w in self.writers:
+            w.write_image(step, name, image)
 
     def close(self) -> None:
         for w in self.writers:
