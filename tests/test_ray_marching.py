@@ -157,3 +157,76 @@ def test_occ_subsampled_skips_empty():
     assert n > 0 and n % 4 == 0
     ts = np.asarray(out["t_starts"][0, :n])
     assert ts.min() > 1.55 and ts.max() < 2.5
+
+
+class TestHierarchicalMarch:
+    """Two-stage pooled-grid marching (MarchConfig.pool): must agree with the
+    flat path on dense grids and skip empty space on sparse ones."""
+
+    def _setup(self, pool):
+        occ_cfg = OccGridConfig(resolution=16, levels=1, pool=pool)
+        march = MarchConfig(
+            num_candidates=256, num_samples=64, render_step_size=0.02,
+            cone_angle=0.0, near_plane=0.05, far_plane=100.0,
+            occ_subsamples=2, pool=pool, pool_supers=32,
+        )
+        o = jnp.array([[-2.0, 0.05, 0.0], [-2.0, 0.4, 0.3], [-2.0, 5.0, 0.0]])
+        d = jnp.array([[1.0, 0.0, 0.0]] * 3)
+        return occ_cfg, march, o, d
+
+    def test_dense_grid_matches_flat_path(self):
+        occ_cfg, march, o, d = self._setup(pool=4)
+        state = mark_all_occupied(init_occ_state(occ_cfg))
+        out_h = march_rays(
+            state["binaries"], occ_cfg, march, o, d,
+            binaries_pooled=state["binaries_pooled"],
+        )
+        import dataclasses
+
+        flat = dataclasses.replace(march, pool=0)
+        out_f = march_rays(state["binaries"], occ_cfg, flat, o, d)
+        # cone=0, ample budgets: stage A subdividing reproduces the exact
+        # flat candidate schedule, so the outputs must match exactly
+        for k in ("t_starts", "t_ends", "mask", "num_samples"):
+            np.testing.assert_allclose(
+                np.asarray(out_h[k]), np.asarray(out_f[k]), atol=1e-6, err_msg=k
+            )
+        assert int(out_h["num_samples"][0]) > 0
+        assert int(out_h["num_samples"][2]) == 0  # ray misses the box
+
+    def test_sparse_grid_skips_empty_space(self):
+        occ_cfg, march, o, d = self._setup(pool=4)
+        state = init_occ_state(occ_cfg)
+        res = occ_cfg.resolution
+        # occupy one small region around x in [0, 0.125], y=z~0
+        bin3 = np.zeros((res, res, res), dtype=bool)  # (z, y, x)
+        bin3[8, 8, 8:10] = True
+        binaries = jnp.asarray(bin3.reshape(-1))
+        from umhs_tpu.ops.occupancy import _pool_binaries
+
+        pooled = _pool_binaries(binaries, occ_cfg)
+        out = march_rays(binaries, occ_cfg, march, o, d, binaries_pooled=pooled)
+        ns = np.asarray(out["num_samples"])
+        assert ns[0] > 0  # ray along y~0.06,z~0 passes the occupied cells
+        assert ns[2] == 0
+        # all returned sample midpoints lie inside occupied cells
+        mids = (np.asarray(out["t_starts"][0]) + np.asarray(out["t_ends"][0])) / 2
+        mask0 = np.asarray(out["mask"][0])
+        pts = np.asarray(o[0])[None] + np.asarray(d[0])[None] * mids[:, None]
+        pts = pts[mask0]
+        ijk = np.clip(((pts + 1) / 2 * res).astype(int), 0, res - 1)
+        assert bin3[ijk[:, 2], ijk[:, 1], ijk[:, 0]].all()
+
+    def test_pooled_query_agrees_with_pooling(self):
+        from umhs_tpu.ops.occupancy import _pool_binaries, query_occupancy
+
+        occ_cfg = OccGridConfig(resolution=16, levels=2, pool=4)
+        key = jax.random.PRNGKey(0)
+        binaries = jax.random.bernoulli(key, 0.05, (2 * 16**3,))
+        pooled = _pool_binaries(binaries, occ_cfg)
+        pts = jax.random.uniform(jax.random.PRNGKey(1), (512, 3), minval=-1.9,
+                                 maxval=1.9)
+        fine = np.asarray(query_occupancy(binaries, pts, occ_cfg))
+        sup = np.asarray(query_occupancy(pooled, pts, occ_cfg, res=4))
+        # a fine-occupied point must be supercell-occupied (no false negatives)
+        assert (sup | ~fine).all()

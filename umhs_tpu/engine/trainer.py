@@ -31,7 +31,7 @@ import optax
 
 from ..data.datamanager import DataManagerConfig, UMHSDataManager, sample_pixel_batch
 from ..models.model import ModelConfig, UMHSModel
-from ..parallel.mesh import make_mesh, put_replicated, shard_rays
+from ..parallel.mesh import make_grad_fn, make_mesh, put_replicated, shard_rays
 from ..utils import metrics as metrics_utils
 from ..utils.writer import Writer, make_writer
 
@@ -65,6 +65,10 @@ class TrainerConfig:
     load_dir: Optional[Path] = None
     load_step: Optional[int] = None
     eval_seg_dump_dir: Optional[Path] = None  # reference dumps seg_pred PNGs
+    # emit gt|pred / depth / accumulation composites per eval image, both
+    # through the writer (tensorboard/wandb images) and as PNGs under
+    # run_dir/eval_images/ (reference umhs_model.py:407-512)
+    save_eval_images: bool = True
     # Dynamic batch sizing (the reference's DynamicBatchPipeline semantics,
     # umhs_pipeline.py:47-50 commented target_num_samples=1<<18): once the
     # occupancy grid converges, mean samples/ray collapses (~64 -> ~16); the
@@ -83,6 +87,9 @@ def make_lr_schedule(cfg: OptimizerConfig):
         init_value=cfg.lr,
         transition_steps=cfg.max_steps,
         decay_rate=cfg.lr_final / cfg.lr,
+        # nerfstudio's ExponentialDecayScheduler clamps at lr_final; without
+        # end_value training past max_steps keeps decaying below it
+        end_value=cfg.lr_final,
     )
     if cfg.warmup_steps > 0:
         warm = optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
@@ -182,34 +189,34 @@ class Trainer:
         batch_size = batch_size or self.datamanager.config.train_num_rays_per_batch
         mesh = self.mesh
 
+        patch_size = self.datamanager.config.patch_size
+        cam_type = self.datamanager.train_outputs.cameras.camera_type
+        # gradient computation: shard-local under the mesh (marching,
+        # compaction and field eval never reshard; only a grads pmean +
+        # sample-count psum cross the ICI — see parallel/mesh.make_grad_fn)
+        grad_fn = make_grad_fn(
+            model, mesh, march_cfg=march_cfg, compact_budget=compact_budget
+        )
+
         def train_step(state, data, cam):
             # RNG lives in the donated state: the host loop issues zero
             # device ops per step (each un-jitted op costs a full dispatch
             # round trip — ~0.7 s through the remote-TPU tunnel).
             rng, k_sample, k_march, k_bg = jax.random.split(state["rng"], 4)
-            rays, batch = sample_pixel_batch(data, cam, k_sample, batch_size)
-            if mesh is not None:
-                rays = shard_rays(rays, mesh)
-                batch = shard_rays(batch, mesh)
-
-            def loss_fn(params):
-                outputs = model.forward(
-                    params, state["occ"], rays, rng=k_march, train=True,
-                    march_config=march_cfg, compact_budget=compact_budget,
-                )
-                loss_dict = model.loss(outputs, batch, k_bg, step=state["step"])
-                return sum(loss_dict.values()), (loss_dict, outputs)
-
-            (total, (loss_dict, outputs)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state["params"])
+            rays, batch = sample_pixel_batch(
+                data, cam, k_sample, batch_size, patch_size=patch_size,
+                camera_type=cam_type,
+            )
+            total, loss_dict, metrics, grads = grad_fn(
+                state["params"], state["occ"], rays, batch,
+                k_march, k_bg, state["step"],
+            )
             updates, opt_state = optimizer.update(
                 grads, state["opt_state"], state["params"]
             )
             params = optax.apply_updates(state["params"], updates)
             params = model.post_step(params)  # endmember clamp
 
-            metrics = model.metrics(outputs, batch)
             metrics.update({f"loss/{k}": v for k, v in loss_dict.items()})
             metrics["loss/total"] = total
             new_state = {
@@ -353,7 +360,12 @@ class Trainer:
                 self.writer.write(self.step, {f"eval/{k}": v for k, v in ev.items()})
 
             if crossed(cfg.steps_per_eval_image) and self.step < total_iters:
-                evi = self.eval_image(self.step % max(len(self.datamanager.eval_dataset), 1))
+                # cycle the eval split: step % len is constant whenever
+                # steps_per_eval_image is a multiple of the split size
+                evi = self.eval_image(
+                    (self.step // cfg.steps_per_eval_image)
+                    % max(len(self.datamanager.eval_dataset), 1)
+                )
                 self.writer.write(
                     self.step, {f"eval_image/{k}": v for k, v in evi.items()}
                 )
@@ -384,7 +396,11 @@ class Trainer:
 
         new_s = min(s0, max(2 * osub, round_up(3.0 * mean_spr, osub)))
         new_r = int(cfg.target_num_samples / max(mean_spr, 1.0))
-        new_r = max(1024, min(1 << 17, (new_r // 256) * 256))
+        # keep the ray batch divisible by the patch area (patch sampling
+        # emits whole patch_size^2 blocks) as well as 256-aligned
+        p2 = max(self.datamanager.config.patch_size, 1) ** 2
+        align = max(256, p2)
+        new_r = max(align, min(1 << 17, (new_r // align) * align))
         if (new_s, new_r) == (self._dyn_march.num_samples, self._dyn_rays):
             return
         print(
@@ -408,13 +424,17 @@ class Trainer:
             self._eval_device_data = {
                 k: jnp.asarray(v) for k, v in dm.eval_dataset.arrays().items()
             }
+            vi = dm.eval_dataset.valid_indices()
+            if vi is not None:
+                self._eval_device_data["valid_indices"] = jnp.asarray(vi)
             self._eval_cam = dm.eval_outputs.cameras.to_device_dict()
         eval_arrays = self._eval_device_data
         cam = self._eval_cam
         key = jax.random.PRNGKey(self.step)
         k1, k2, k3 = jax.random.split(key, 3)
         rays, batch = sample_pixel_batch(
-            eval_arrays, cam, k1, dm.config.eval_num_rays_per_batch
+            eval_arrays, cam, k1, dm.config.eval_num_rays_per_batch,
+            camera_type=dm.eval_outputs.cameras.camera_type,
         )
         if self._forward_fn is None:
             self._forward_fn = self._build_forward(train=False)
@@ -431,7 +451,11 @@ class Trainer:
         h, w = hw
         n = h * w
         chunk = chunk or self.model.config.eval_num_rays_per_chunk
-        num_chunks = -(-n // chunk)
+        # round the chunk count up to a power of two: every resolution maps
+        # onto one of O(log) compiled shapes instead of one shape per
+        # resolution (alternating viewer sizes used to recompile every time);
+        # padded chunks render dummy rays (<2x waste, dispatch-free)
+        num_chunks = 1 << max(0, (-(-n // chunk)) - 1).bit_length() if n > chunk else 1
         pad = num_chunks * chunk - n
         padded = {}
         for k, v in rays.items():
@@ -444,7 +468,10 @@ class Trainer:
 
         # one dispatch for the whole image: lax.map over chunks (a host-side
         # chunk loop pays a tunnel round trip per chunk)
-        if getattr(self, "_render_fn", None) is None or self._render_fn[0] != chunk:
+        if getattr(self, "_render_fns", None) is None:
+            self._render_fns = {}
+        key_rf = (chunk, num_chunks)
+        if key_rf not in self._render_fns:
             model = self.model
 
             def render_all(state, chunks):
@@ -456,8 +483,8 @@ class Trainer:
                     chunks,
                 )
 
-            self._render_fn = (chunk, jax.jit(render_all))
-        outs = self._render_fn[1](self.state, padded)
+            self._render_fns[key_rf] = jax.jit(render_all)
+        outs = self._render_fns[key_rf](self.state, padded)
         merged = {}
         for k, v in outs.items():
             arr = np.asarray(v).reshape(num_chunks * chunk, -1)[:n]
@@ -502,7 +529,37 @@ class Trainer:
                 Image.fromarray(seg_raw).save(d / f"seg_pred_{idx}.png")
                 color = (np.clip(outputs["seg_pred"], 0, 1) * 255).astype(np.uint8)
                 Image.fromarray(color).save(d / "color" / f"{idx}.png")
+        if self.config.save_eval_images:
+            self._emit_eval_images(idx, gt_rgb, pred_rgb, outputs)
         return m
+
+    def _emit_eval_images(self, idx: int, gt_rgb, pred_rgb, outputs) -> None:
+        """gt|pred side-by-side + turbo depth + turbo accumulation composites,
+        sent through the writer (tensorboard/wandb images) and dumped as PNGs
+        under run_dir/eval_images/ so long runs are inspectable (reference
+        get_image_metrics_and_images, umhs_model.py:407-512)."""
+        from PIL import Image
+
+        from ..utils.colormaps import apply_colormap, apply_depth_colormap
+
+        composites = {
+            "img": np.concatenate(
+                [np.clip(gt_rgb, 0, 1), np.clip(pred_rgb, 0, 1)], axis=1
+            ),
+            "depth": apply_depth_colormap(
+                outputs["depth"], outputs.get("accumulation")
+            ),
+            "accumulation": apply_colormap(outputs["accumulation"]),
+        }
+        if "seg_pred" in outputs:
+            composites["seg_pred"] = np.clip(outputs["seg_pred"], 0, 1)
+        d = self.run_dir / "eval_images"
+        d.mkdir(parents=True, exist_ok=True)
+        for name, img in composites.items():
+            self.writer.write_image(self.step, f"eval_img_{idx}/{name}", img)
+            Image.fromarray((img * 255).astype(np.uint8)).save(
+                d / f"step-{self.step:09d}-{idx}-{name}.png"
+            )
 
     def eval_all_images(self) -> Dict[str, float]:
         """Average eval-image metrics over the whole eval split (the ns-eval

@@ -101,6 +101,10 @@ class ModelConfig:
     num_candidates: int = 1024
     max_samples_per_ray: int = 96
     occ_subsamples: int = 4  # fine steps per occupancy query (~cell size)
+    # hierarchical march pre-pass: supercell factor for the max-pooled
+    # occupancy bitfield (0 disables; grid_resolution must divide by it).
+    # Cuts march occupancy-gather rows ~2x at equal coverage.
+    march_pool: int = 4
     early_stop_eps: float = 1e-4
     compute_dtype: str = "float32"  # or "bfloat16"
     stochastic_hash_grad: bool = True  # one-corner gradient splatting
@@ -152,11 +156,15 @@ class UMHSModel:
             render_step_size = config.render_step_size
         self.render_step_size = render_step_size
 
+        pool = config.march_pool
+        if pool > 1 and config.grid_resolution % pool != 0:
+            pool = 0
         self.occ_config = OccGridConfig(
             resolution=config.grid_resolution,
             levels=config.grid_levels,
             aabb_min=aabb_min,
             aabb_max=aabb_max,
+            pool=pool,
         )
         self.march_config = MarchConfig(
             num_candidates=config.num_candidates,
@@ -166,6 +174,7 @@ class UMHSModel:
             near_plane=config.near_plane,
             far_plane=config.far_plane,
             occ_subsamples=config.occ_subsamples,
+            pool=pool,
         )
         self.field_config = FieldConfig(
             method=config.method,
@@ -288,6 +297,7 @@ class UMHSModel:
             d,
             rng=rng if train else None,
             total_budget=B if compact else None,
+            binaries_pooled=occ_state.get("binaries_pooled"),
         )
         t_starts, t_ends, mask = march["t_starts"], march["t_ends"], march["mask"]
         d_unit = d / jnp.linalg.norm(d, axis=-1, keepdims=True)

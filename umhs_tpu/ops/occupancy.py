@@ -39,6 +39,9 @@ class OccGridConfig:
     occ_thre: float = 0.01
     warmup_steps: int = 256
     update_interval: int = 16
+    # max-pool factor for the hierarchical march pre-pass bitfield
+    # (0 disables; resolution must be divisible by it)
+    pool: int = 0
 
     @property
     def cells_per_level(self) -> int:
@@ -62,12 +65,28 @@ class OccGridConfig:
         return float(2 ** (self.levels - 1))
 
 
+def _pool_binaries(binaries: jnp.ndarray, config: OccGridConfig) -> jnp.ndarray:
+    """Max-pool the per-level bitfield by config.pool along each axis:
+    a supercell is occupied iff any of its pool^3 cells is."""
+    p, r, L = config.pool, config.resolution, config.levels
+    b = binaries.reshape(L, r // p, p, r // p, p, r // p, p)
+    # flat index is x + y*res + z*res^2 -> reshape splits (z, y, x) major
+    return jnp.any(b, axis=(2, 4, 6)).reshape(-1)
+
+
 def init_occ_state(config: OccGridConfig):
     n = config.levels * config.cells_per_level
-    return {
+    state = {
         "occs": jnp.zeros((n,), dtype=jnp.float32),
         "binaries": jnp.zeros((n,), dtype=jnp.bool_),
     }
+    if config.pool > 1:
+        assert config.resolution % config.pool == 0
+        state["binaries_pooled"] = jnp.zeros(
+            (config.levels * (config.resolution // config.pool) ** 3,),
+            dtype=jnp.bool_,
+        )
+    return state
 
 
 def _cell_to_unit(cell_ijk: jnp.ndarray, resolution: int) -> jnp.ndarray:
@@ -99,12 +118,17 @@ def _level_world_positions(
 
 
 def query_occupancy(
-    binaries: jnp.ndarray, positions: jnp.ndarray, config: OccGridConfig
+    binaries: jnp.ndarray,
+    positions: jnp.ndarray,
+    config: OccGridConfig,
+    res: Optional[int] = None,
 ) -> jnp.ndarray:
     """Occupancy of world positions (..., 3) -> bool (...,).
 
     Uses the finest level whose box contains the position; positions outside
-    the coarsest level are unoccupied.
+    the coarsest level are unoccupied. `res` overrides the per-level grid
+    resolution — used to query the max-pooled bitfield in the hierarchical
+    march pre-pass (binaries must then be the pooled field).
     """
     center = jnp.asarray(config.center)
     half = jnp.asarray(config.half_extent)
@@ -117,10 +141,10 @@ def query_occupancy(
 
     scale = jnp.exp2(lvl.astype(jnp.float32))[..., None]
     unit = (rel / scale + 1.0) / 2.0  # [0, 1] in that level
-    res = config.resolution
+    res = config.resolution if res is None else res
     ijk = jnp.clip(jnp.floor(unit * res).astype(jnp.int32), 0, res - 1)
     flat = (
-        lvl * config.cells_per_level
+        lvl * (res**3)
         + ijk[..., 0]
         + ijk[..., 1] * res
         + ijk[..., 2] * res * res
@@ -203,7 +227,10 @@ def update_occ_state(
 
     thre = jnp.minimum(jnp.mean(occs), config.occ_thre)
     binaries = occs > thre
-    return {"occs": occs, "binaries": binaries}
+    out = {"occs": occs, "binaries": binaries}
+    if config.pool > 1:
+        out["binaries_pooled"] = _pool_binaries(binaries, config)
+    return out
 
 
 def occ_update_due(step: int, config: OccGridConfig) -> bool:
@@ -216,7 +243,10 @@ def mark_all_occupied(state):
     very first training batches march everywhere (nerfacc grids start empty
     but are updated before the first forward by the BEFORE_TRAIN_ITERATION
     callback; we mirror that by calling update at step 0)."""
-    return {
+    out = {
         "occs": state["occs"],
         "binaries": jnp.ones_like(state["binaries"]),
     }
+    if "binaries_pooled" in state:
+        out["binaries_pooled"] = jnp.ones_like(state["binaries_pooled"])
+    return out

@@ -48,6 +48,14 @@ class MarchConfig:
     # every render_step_size inside occupied cells). Cuts the dominant
     # march cost — random bitfield gathers — by this factor.
     occ_subsamples: int = 1
+    # Hierarchical pre-pass: when pool > 0 (and a max-pooled bitfield is
+    # supplied), stage A marches at SUPERCELL granularity (pool^3 cells per
+    # supercell) against the pooled grid, keeps the first `pool_supers`
+    # occupied supercells per ray, and only those are subdivided into cell
+    # candidates for the fine bitfield query — cutting occupancy-gather rows
+    # ~(pool/2)x at equal coverage.
+    pool: int = 0
+    pool_supers: int = 0  # 0 = auto (2x coarse_samples)
 
     @property
     def coarse_candidates(self) -> int:
@@ -58,6 +66,11 @@ class MarchConfig:
     def coarse_samples(self) -> int:
         assert self.num_samples % max(self.occ_subsamples, 1) == 0
         return self.num_samples // max(self.occ_subsamples, 1)
+
+    @property
+    def supers(self) -> int:
+        return self.pool_supers or min(2 * self.coarse_samples,
+                                       max(self.coarse_candidates // self.pool, 1))
 
 
 def ray_aabb_intersect(
@@ -108,6 +121,68 @@ def candidate_ts(
     return ts, dts
 
 
+def _rank_select(
+    occupied: jnp.ndarray,
+    ts: jnp.ndarray,
+    dts: jnp.ndarray,
+    S: int,
+    total_budget: Optional[int] = None,
+):
+    """Budgeted compaction of occupied candidates to S slots per ray.
+
+    When a ray has more occupied candidates than the budget, taking the
+    *first* S would truncate the ray (early training: the grid is dense, so
+    samples would never reach the surface). Instead select an evenly-strided
+    subset spanning the whole occupied range and scale each kept dt by
+    count/S so optical depth is conserved — coarse but unbiased quadrature
+    that converges to exact marching once occupancy prunes below the budget.
+
+    Selection is a vectorised binary search over the running occupancy
+    count: the s-th output sample is the candidate holding occupied-rank
+    target(s). This replaces a top_k (full (R, M) sort — slow on the TPU's
+    bitonic sort path) with log2(M) rounds of take_along_axis gathers.
+
+    Returns (t_starts, dt_sel, valid), each (R, S).
+    """
+    M = occupied.shape[-1]
+    cum = jnp.cumsum(occupied.astype(jnp.int32), axis=-1)  # (R, M)
+    count = cum[:, -1:]  # (R, 1)
+    # per-ray budget: at most S (the static lane width), scaled down
+    # proportionally when the whole batch would exceed total_budget
+    budget = jnp.minimum(count, S)
+    if total_budget is not None:
+        total = jnp.maximum(jnp.sum(budget), 1)
+        scale = jnp.minimum(1.0, total_budget / total.astype(jnp.float32))
+        budget = jnp.maximum(
+            (budget.astype(jnp.float32) * scale).astype(jnp.int32),
+            jnp.minimum(count, 1),
+        )
+    slot = jnp.arange(S, dtype=jnp.int32)[None, :]  # (1, S)
+    # target occupied rank per output slot (0-based): strided when over budget
+    rank = jnp.where(count > budget, (slot * count) // jnp.maximum(budget, 1), slot)
+    valid = slot < budget
+    # first candidate index whose cumulative count reaches rank+1
+    lo = jnp.zeros((occupied.shape[0], S), dtype=jnp.int32)
+    hi = jnp.full((occupied.shape[0], S), M, dtype=jnp.int32)
+    target = rank + 1
+    for _ in range(M.bit_length()):
+        mid = (lo + hi) // 2
+        mid_val = jnp.take_along_axis(cum, jnp.minimum(mid, M - 1), axis=1)
+        go_right = mid_val < target
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    idx = jnp.minimum(lo, M - 1)  # (R, S)
+    dt_scale = jnp.maximum(
+        count.astype(jnp.float32) / jnp.maximum(budget, 1).astype(jnp.float32), 1.0
+    )  # (R, 1)
+
+    t_starts = jnp.take_along_axis(ts, idx, axis=1)
+    dt_sel = jnp.take_along_axis(dts, idx, axis=1) * dt_scale
+    t_starts = jnp.where(valid, t_starts, 0.0)
+    dt_sel = jnp.where(valid, dt_sel, 0.0)
+    return t_starts, dt_sel, valid
+
+
 def march_rays(
     binaries: jnp.ndarray,
     occ_config: OccGridConfig,
@@ -116,6 +191,7 @@ def march_rays(
     directions: jnp.ndarray,
     rng: Optional[jax.Array] = None,
     total_budget: Optional[int] = None,
+    binaries_pooled: Optional[jnp.ndarray] = None,
 ):
     """March rays through the occupancy grid.
 
@@ -151,72 +227,52 @@ def march_rays(
     # march at occupancy-cell granularity: one query per coarse interval,
     # `occ_subsamples` fine sample intervals inside each occupied one
     k = max(march.occ_subsamples, 1)
-    coarse = dataclasses.replace(
-        march,
-        num_candidates=march.coarse_candidates,
-        num_samples=march.coarse_samples,
-        render_step_size=march.render_step_size * k,
-        cone_angle=march.cone_angle * k,
-    )
-    ts, dts = candidate_ts(t0, coarse)  # (R, Mc)
-    in_range = ts < t_max[:, None]
+    R = origins.shape[0]
+
+    if march.pool > 1 and binaries_pooled is not None:
+        # hierarchical pre-pass: stage A walks SUPERCELL-sized steps against
+        # the max-pooled bitfield and keeps the first `supers` occupied
+        # supercells; only those subdivide into cell candidates for the fine
+        # query — (Ma + supers*pool) gather rows instead of Mc per ray.
+        p = march.pool
+        superA = dataclasses.replace(
+            march,
+            num_candidates=max(march.coarse_candidates // p, 1),
+            render_step_size=march.render_step_size * k * p,
+            cone_angle=march.cone_angle * k * p,
+        )
+        tsA, dtsA = candidate_ts(t0, superA)  # (R, Ma)
+        in_rangeA = tsA < t_max[:, None]
+        midsA = tsA + dtsA / 2.0
+        posA = origins[:, None, :] + directions[:, None, :] * midsA[..., None]
+        occA = query_occupancy(
+            binaries_pooled, posA, occ_config, res=occ_config.resolution // p
+        ) & in_rangeA
+        tA, dtA, validA = _rank_select(occA, tsA, dtsA, march.supers)
+        # subdivide each selected supercell run into p cell-sized intervals
+        sub = jnp.arange(p, dtype=jnp.float32)[None, None, :]
+        dt_cell = (dtA / p)[:, :, None]  # (R, SA, 1)
+        ts = (tA[:, :, None] + sub * dt_cell).reshape(R, -1)
+        dts = jnp.broadcast_to(dt_cell, (*dtA.shape, p)).reshape(R, -1)
+        in_range = jnp.repeat(validA, p, axis=1)
+    else:
+        coarse = dataclasses.replace(
+            march,
+            num_candidates=march.coarse_candidates,
+            render_step_size=march.render_step_size * k,
+            cone_angle=march.cone_angle * k,
+        )
+        ts, dts = candidate_ts(t0, coarse)  # (R, Mc)
+        in_range = ts < t_max[:, None]
 
     mids = ts + dts / 2.0
     positions = origins[:, None, :] + directions[:, None, :] * mids[..., None]
     occupied = query_occupancy(binaries, positions, occ_config) & in_range
-    march = coarse
 
-    # Budgeted compaction to S samples per ray. When a ray has more occupied
-    # candidates than the budget, taking the *first* S would truncate the ray
-    # (early training: the grid is dense, so samples would never reach the
-    # surface). Instead select an evenly-strided subset spanning the whole
-    # occupied range and scale each kept dt by count/S so optical depth is
-    # conserved — coarse but unbiased quadrature that converges to exact
-    # marching once occupancy prunes below the budget.
-    #
-    # Selection is a vectorised binary search over the running occupancy
-    # count: the s-th output sample is the candidate holding occupied-rank
-    # target(s). This replaces a top_k (full (R, M) sort — slow on the TPU's
-    # bitonic sort path) with log2(M) rounds of take_along_axis gathers.
-    M = march.num_candidates
-    S = march.num_samples
-    cum = jnp.cumsum(occupied.astype(jnp.int32), axis=-1)  # (R, M)
-    count = cum[:, -1:]  # (R, 1)
-    # per-ray sample budget: at most S (the static lane width), scaled down
-    # proportionally when the whole batch would exceed total_budget
-    budget = jnp.minimum(count, S)
-    if total_budget is not None:
-        k_sub = max(march.occ_subsamples, 1)
-        coarse_total_budget = total_budget // k_sub
-        total = jnp.maximum(jnp.sum(budget), 1)
-        scale = jnp.minimum(1.0, coarse_total_budget / total.astype(jnp.float32))
-        budget = jnp.maximum(
-            (budget.astype(jnp.float32) * scale).astype(jnp.int32),
-            jnp.minimum(count, 1),
-        )
-    slot = jnp.arange(S, dtype=jnp.int32)[None, :]  # (1, S)
-    # target occupied rank per output slot (0-based): strided when over budget
-    rank = jnp.where(count > budget, (slot * count) // jnp.maximum(budget, 1), slot)
-    valid = slot < budget
-    # first candidate index whose cumulative count reaches rank+1
-    lo = jnp.zeros((occupied.shape[0], S), dtype=jnp.int32)
-    hi = jnp.full((occupied.shape[0], S), M, dtype=jnp.int32)
-    target = rank + 1
-    for _ in range(M.bit_length()):
-        mid = (lo + hi) // 2
-        mid_val = jnp.take_along_axis(cum, jnp.minimum(mid, M - 1), axis=1)
-        go_right = mid_val < target
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    idx = jnp.minimum(lo, M - 1)  # (R, S)
-    dt_scale = jnp.maximum(
-        count.astype(jnp.float32) / jnp.maximum(budget, 1).astype(jnp.float32), 1.0
-    )  # (R, 1)
-
-    t_starts = jnp.take_along_axis(ts, idx, axis=1)
-    dt_sel = jnp.take_along_axis(dts, idx, axis=1) * dt_scale
-    t_starts = jnp.where(valid, t_starts, 0.0)
-    dt_sel = jnp.where(valid, dt_sel, 0.0)
+    t_starts, dt_sel, valid = _rank_select(
+        occupied, ts, dts, march.coarse_samples,
+        total_budget // k if total_budget is not None else None,
+    )
 
     if k > 1:
         # expand each selected coarse interval into k fine sample intervals

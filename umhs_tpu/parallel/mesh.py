@@ -48,3 +48,79 @@ def shard_rays(rays: dict, mesh: Mesh, axis_name: str = "data") -> dict:
 def put_replicated(tree, mesh: Mesh):
     """Place a pytree fully replicated across the mesh."""
     return jax.device_put(tree, replicated(mesh))
+
+
+def make_grad_fn(
+    model,
+    mesh: Optional[Mesh],
+    march_cfg=None,
+    compact_budget: Optional[int] = None,
+    axis_name: str = "data",
+):
+    """Build the per-step gradient function, shard-local under a mesh.
+
+    Returns grad_fn(params, occ, rays, batch, k_march, k_bg, step) ->
+    (total_loss, loss_dict, metrics, grads), all replicated.
+
+    Under a mesh the body runs inside `jax.shard_map` over the ray batch:
+    marching, the compact-path cumsum/compaction (models/model.py forward)
+    and the field all operate on the LOCAL ray shard — no resharding
+    collectives can appear because shard_map only emits the collectives
+    written here: a grads/loss pmean and a sample-count psum over ICI
+    (the DP semantics of the reference's 4-GPU DDP launches,
+    /root/reference/scripts/anacampseros.sh:3, ignore.py:109-111).
+    The compact budget is divided evenly across shards; per-shard RNG is
+    decorrelated by folding in the axis index.
+    """
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    local_budget = (
+        max(256, compact_budget // n_dev) if compact_budget is not None else None
+    )
+
+    def compute(params, occ, rays, batch, k_march, k_bg, step):
+        def loss_fn(p):
+            outputs = model.forward(
+                p, occ, rays, rng=k_march, train=True,
+                march_config=march_cfg, compact_budget=local_budget,
+            )
+            loss_dict = model.loss(outputs, batch, k_bg, step=step)
+            return sum(loss_dict.values()), (loss_dict, outputs)
+
+        (total, (loss_dict, outputs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        metrics = model.metrics(outputs, batch)
+        return total, loss_dict, metrics, grads
+
+    if mesh is None:
+        return compute
+
+    def sharded(params, occ, rays, batch, k_march, k_bg, step):
+        idx = jax.lax.axis_index(axis_name)
+        k_march_l = jax.random.fold_in(k_march, idx)
+        k_bg_l = jax.random.fold_in(k_bg, idx)
+        total, loss_dict, metrics, grads = compute(
+            params, occ, rays, batch, k_march_l, k_bg_l, step
+        )
+        # equal shard sizes: mean-of-means == global mean
+        total = jax.lax.pmean(total, axis_name)
+        loss_dict = jax.lax.pmean(loss_dict, axis_name)
+        grads = jax.lax.pmean(grads, axis_name)
+        nspb = metrics.pop("num_samples_per_batch")
+        metrics = jax.lax.pmean(metrics, axis_name)
+        metrics["num_samples_per_batch"] = jax.lax.psum(nspb, axis_name)
+        return total, loss_dict, metrics, grads
+
+    # check_vma=False: with the varying-manual-axes rewrite ON, autodiff
+    # auto-inserts a psum on grads of replicated params (the transpose of the
+    # implicit pbroadcast) — but custom_vjp paths (the hash table) bypass it,
+    # so grads would come out inconsistently scaled (psum for dense params,
+    # per-shard for the table). With it OFF every grad stays per-shard and
+    # the explicit pmean above is the single well-defined collective.
+    return jax.shard_map(
+        sharded,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis_name), P(axis_name), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
