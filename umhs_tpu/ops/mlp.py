@@ -56,15 +56,42 @@ def init_mlp(
     return {"layers": layers}
 
 
+def _pallas_available() -> bool:
+    """Fused Pallas path only on a real TPU backend (tests run on CPU)."""
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover - backend probing
+        return False
+
+
 def apply_mlp(
     params,
     x: jnp.ndarray,
     activation: Callable = jax.nn.relu,
     out_activation: Optional[Callable] = None,
     compute_dtype=None,
+    fused: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Apply the MLP. Hidden activations use `activation`; the output layer
-    optionally applies `out_activation`."""
+    optionally applies `out_activation`.
+
+    fused=True (default on TPU backends) routes 2-D batches through the
+    Pallas fused-chain kernel (ops/pallas/mlp_fused.py): the whole layer
+    stack runs in VMEM per sample tile — one HBM read of x, one write of the
+    output, activations never spilled (the TPU analogue of tcnn's
+    fully-fused MLPs, /root/reference/umhsnerf/umhs_field.py:22).
+    """
+    if fused is None:
+        fused = _pallas_available()
+    if fused and activation is jax.nn.relu and x.ndim == 2 and x.shape[0] > 0:
+        from .pallas.mlp_fused import mlp_apply_fused
+
+        h = mlp_apply_fused(
+            params, x,
+            compute_dtype=compute_dtype if compute_dtype is not None
+            else jnp.float32,
+        )
+        return out_activation(h) if out_activation is not None else h
     layers = params["layers"]
     h = x if compute_dtype is None else x.astype(compute_dtype)
     for i, layer in enumerate(layers):
