@@ -80,17 +80,23 @@ def main():
             pred_specular=True,
             load_vca=True,
             temperature=0.4,
+            # FULL reference occupancy + hash configuration
+            # (/root/reference/umhsnerf/umhs_model.py:74-85): 128^3 x 4-level
+            # grid, cone_angle 0.004, hash 16 levels x 2 features, 2^19 table.
             grid_resolution=128,
-            grid_levels=1,
+            grid_levels=4,
             num_candidates=1024,
             max_samples_per_ray=64,
-            cone_angle=0.0,
-            # TPU-optimized hash shape: 8 levels x 4 features = half the
-            # gather rows of the L16xF2 default at equal encoding width.
-            # A/B on TPU: +39% rays/s, eval-image quality within 0.3 dB RGB /
-            # 0.6 dB spectral (see docs/PERFORMANCE.md).
-            hash_num_levels=8,
-            hash_features_per_level=4,
+            cone_angle=0.004,
+            hash_num_levels=16,
+            hash_features_per_level=2,
+            log2_hashmap_size=19,
+            # TPU-native execution choices (same model class, not a softer
+            # config): tetrahedral 4-vertex interpolation (half the gather
+            # rows; quality A/B in docs/PERFORMANCE.md) and the hierarchical
+            # pooled-grid march pre-pass.
+            hash_interpolation="tetrahedral",
+            march_pool=4,
         ),
         DataManagerConfig(
             dataparser=DataParserConfig(data=root, num_classes=6),

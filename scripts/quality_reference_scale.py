@@ -1,0 +1,142 @@
+"""Reference-scale quality run: 30k steps, 512^2, 21 bands, full config.
+
+Reproduces the reference's flagship training envelope
+(/root/reference/umhsnerf/umhs_config.py:35-67 + scripts/hotdog.sh: 30k
+iterations, Adam 2e-2 eps 1e-15 -> exp decay 1e-5, batch 4096 rays,
+occupancy grid 128^3 x 4 levels, cone 0.004, hash L16xF2 2^19,
+rgb+spectral method with specular residual, VCA init, temperature 0.4) on a
+512^2 / 21-band NeSpoF-stand-in synthetic scene, then evaluates every eval
+view (PSNR/SSIM/LPIPS + spectral PSNR/SSIM/SAM/RMSE — the metric set of
+umhs_model.py:407-512) and writes docs/final_metrics.json.
+
+Usage:  python scripts/quality_reference_scale.py [--steps N] [--out PATH]
+        [--interp tetrahedral|trilinear]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=30000)
+    ap.add_argument("--out", type=Path, default=REPO / "docs" / "final_metrics.json")
+    ap.add_argument("--interp", default="tetrahedral",
+                    choices=["tetrahedral", "trilinear"])
+    ap.add_argument("--image-size", type=int, default=512)
+    ap.add_argument("--views", type=int, default=30)
+    args = ap.parse_args()
+
+    import jax
+
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            str(Path.home() / ".cache" / "jax_comp"),
+        )
+    workdir = tempfile.mkdtemp(prefix="umhs_quality_")
+    os.chdir(workdir)
+
+    from umhs_tpu.data.datamanager import DataManagerConfig
+    from umhs_tpu.data.dataparser import DataParserConfig
+    from umhs_tpu.data.synthetic import SyntheticSceneConfig, write_dataset
+    from umhs_tpu.engine.trainer import OptimizerConfig, Trainer, TrainerConfig
+    from umhs_tpu.models.model import ModelConfig
+    from umhs_tpu.utils import metrics as metrics_utils
+
+    scene = SyntheticSceneConfig(
+        num_views_train=args.views,
+        num_views_eval=4,
+        image_size=args.image_size,
+        num_bands=21,
+        wavelength_start=450.0,
+        wavelength_step=10.0,
+        num_spheres=5,
+    )
+    root = write_dataset("scene", scene)
+
+    t0 = time.time()
+    trainer = Trainer(
+        TrainerConfig(
+            max_num_iterations=args.steps,
+            steps_per_save=10**9,
+            steps_per_eval_batch=5000,
+            steps_per_eval_image=10**9,
+            steps_per_log=1000,
+            mixed_precision=True,
+            use_mesh=True,
+            experiment_name="quality-ref-scale",
+            optimizer=OptimizerConfig(
+                lr=2e-2, eps=1e-15, lr_final=1e-5, max_steps=args.steps
+            ),
+        ),
+        ModelConfig(
+            method="rgb+spectral",
+            pred_specular=True,
+            load_vca=True,
+            temperature=0.4,
+            grid_resolution=128,
+            grid_levels=4,
+            cone_angle=0.004,
+            hash_num_levels=16,
+            hash_features_per_level=2,
+            log2_hashmap_size=19,
+            num_candidates=1024,
+            max_samples_per_ray=64,
+            hash_interpolation=args.interp,
+        ),
+        DataManagerConfig(
+            dataparser=DataParserConfig(data=root, num_classes=6),
+            train_num_rays_per_batch=4096,
+            eval_num_rays_per_batch=4096,
+        ),
+        num_classes=6,
+    ).setup()
+    setup_s = time.time() - t0
+    print(f"# setup {setup_s:.1f}s", file=sys.stderr)
+
+    t1 = time.time()
+    last = trainer.train()
+    train_s = time.time() - t1
+
+    final = trainer.eval_all_images()
+    total_rays = args.steps * 4096  # nominal; dynamic batching raises this
+    result = {
+        "config": {
+            "steps": args.steps,
+            "image_size": args.image_size,
+            "bands": 21,
+            "num_classes": 6,
+            "hash": f"L16xF2 2^19 ({args.interp})",
+            "grid": "128^3 x 4, cone 0.004",
+            "batch_rays": 4096,
+            "lr": "2e-2 -> 1e-5 exp",
+        },
+        "train_wall_clock_s": round(train_s, 1),
+        "setup_s": round(setup_s, 1),
+        "train_rays_per_sec": round(last.get("rays_per_sec", 0.0), 1),
+        "lpips_variant": metrics_utils.LPIPS_VARIANT,
+        "eval_all_images": {k: round(float(v), 5) for k, v in final.items()},
+        "last_train_metrics": {
+            k: round(float(v), 6) for k, v in last.items()
+        },
+    }
+    args.out.parent.mkdir(parents=True, exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result["eval_all_images"]))
+    print(f"# wall clock {train_s/60:.1f} min; wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -76,8 +76,9 @@ def _bwd_kernel(compute_dtype, num_layers, x_ref, g_ref, *refs):
     for i in reversed(range(num_layers)):
         if i + 1 < num_layers:
             # dh currently refers to post-ReLU input of layer i+1; gate it
-            # by the ReLU mask of layer i's pre-activation (acts[i+1] > 0)
-            dh = dh * (acts[i + 1] > 0).astype(jnp.float32)
+            # by the ReLU mask of layer i's pre-activation (acts[i+1] > 0).
+            # Compare in f32: Mosaic on v5e rejects bf16 cmpf vectors.
+            dh = dh * (acts[i + 1].astype(jnp.float32) > 0.0).astype(jnp.float32)
         a = acts[i]
         dw = jax.lax.dot_general(
             a.astype(compute_dtype), dh.astype(compute_dtype),
