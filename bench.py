@@ -58,9 +58,10 @@ def main():
     root = write_dataset("scene", scene)
 
     batch = 4096
-    # warmup past the occupancy-grid warmup (256) and the dynamic-batch
-    # adaptation boundary so the measured window reflects steady state
-    steps_warmup, steps_measure = 304, 160
+    # warmup past the occupancy-grid warmup (256), the march od-culling
+    # gate (512) and the dynamic-batch adaptation boundaries so the
+    # measured window reflects converged steady state
+    steps_warmup, steps_measure = 560, 160
     trainer = Trainer(
         TrainerConfig(
             max_num_iterations=steps_warmup + steps_measure,
@@ -72,7 +73,7 @@ def main():
             mixed_precision=True,
             use_mesh=True,
             dynamic_batching=True,
-            adapt_steps=(272,),
+            adapt_steps=(272, 544),
             optimizer=OptimizerConfig(lr=1e-2, max_steps=10000),
         ),
         ModelConfig(

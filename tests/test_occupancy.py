@@ -82,3 +82,27 @@ def test_update_jittable():
     )
     s = f(s, jax.random.PRNGKey(0))
     assert s["occs"].shape == (2 * 8**3,)
+
+
+def test_lower_envelope_tracker():
+    """occs_low: rises geometrically (x2/update) under consistent density,
+    collapses instantly on a low probe (boundary-cell behaviour) — the
+    basis of quality-safe march termination."""
+    cfg = OccGridConfig(resolution=8, levels=1)
+    s = init_occ_state(cfg)
+    high = lambda p: jnp.full(p.shape[:-1], 10.0)
+    zero = lambda p: jnp.zeros(p.shape[:-1])
+    key = jax.random.PRNGKey(0)
+    for i in range(8):
+        s = update_occ_state(s, cfg, high, 1.0, jax.random.fold_in(key, i), full=True)
+    low8 = float(jnp.mean(s["occs_low"]))
+    # geometric climb from the occ_thre seed: 0.01 * 2^7 = 1.28
+    assert 0.5 < low8 < 3.0, low8
+    for i in range(8, 40):
+        s = update_occ_state(s, cfg, high, 1.0, jax.random.fold_in(key, i), full=True)
+    assert float(jnp.mean(s["occs_low"])) > 8.0  # converges to the density
+    # one zero probe collapses the envelope (heavy-tailed safety)
+    s = update_occ_state(s, cfg, zero, 1.0, jax.random.fold_in(key, 99), full=True)
+    assert float(jnp.mean(s["occs_low"])) == 0.0
+    # the max-EMA stays high through the zero (slow 0.95 decay)
+    assert float(jnp.mean(s["occs"])) > 8.0

@@ -230,3 +230,61 @@ class TestHierarchicalMarch:
         sup = np.asarray(query_occupancy(pooled, pts, occ_cfg, res=4))
         # a fine-occupied point must be supercell-occupied (no false negatives)
         assert (sup | ~fine).all()
+
+
+class TestEarlyStopOD:
+    """March-time early ray termination from the EMA occs values
+    (nerfacc VolumetricSampler terminates at transmittance < 1e-4,
+    /root/reference/umhsnerf/umhs_model.py:229-237)."""
+
+    def _slab_state(self):
+        # occupy an x-slab [0.0, 0.25] across the level-0 box with a huge
+        # EMA value (optically thick); leave the rest empty
+        occ = OccGridConfig(resolution=16, levels=1)
+        state = init_occ_state(occ)
+        res = occ.resolution
+        ijk = np.stack(np.meshgrid(np.arange(res), np.arange(res),
+                                   np.arange(res), indexing="ij"), -1)
+        x = (ijk[..., 0] + 0.5) / res * 2.0 - 1.0
+        slab = (x > 0.0) & (x < 0.25)
+        flat = np.zeros((res**3,), np.float32)
+        flat[slab.transpose(2, 1, 0).reshape(-1)] = 100.0  # density*step
+        state["occs"] = jnp.asarray(flat)
+        state["binaries"] = state["occs"] > 0.01
+        return occ, state
+
+    def test_culls_behind_opaque_slab(self):
+        occ, state = self._slab_state()
+        o = jnp.array([[-2.0, 0.0, 0.0]])
+        d = jnp.array([[1.0, 0.0, 0.0]])
+        march = MarchConfig(num_candidates=256, num_samples=64,
+                            render_step_size=0.02, cone_angle=0.0,
+                            near_plane=0.05, far_plane=100.0,
+                            early_stop_od=5.0)
+        out = march_rays(state["binaries"], occ, march, o, d,
+                         occs=state["occs"])
+        # only the first slab entries survive: od grows by ~100*dt/step=100
+        # per sample, so everything past the first sample is culled
+        n_with = int(out["num_samples"][0])
+        out_off = march_rays(state["binaries"], occ,
+                             MarchConfig(num_candidates=256, num_samples=64,
+                                         render_step_size=0.02, cone_angle=0.0,
+                                         near_plane=0.05, far_plane=100.0,
+                                         early_stop_od=0.0),
+                             o, d, occs=state["occs"])
+        n_without = int(out_off["num_samples"][0])
+        assert n_without > n_with >= 1
+        assert n_with <= 2  # od passes 5.0 within ~1 sample of slab entry
+
+    def test_no_occs_is_noop(self):
+        occ, state = self._slab_state()
+        o = jnp.array([[-2.0, 0.0, 0.0]])
+        d = jnp.array([[1.0, 0.0, 0.0]])
+        march = MarchConfig(num_candidates=256, num_samples=64,
+                            render_step_size=0.02, cone_angle=0.0,
+                            near_plane=0.05, far_plane=100.0,
+                            early_stop_od=5.0)
+        a = march_rays(state["binaries"], occ, march, o, d)  # no occs
+        b = march_rays(state["binaries"], occ, march, o, d,
+                       occs=jnp.zeros_like(state["occs"]))  # zero od
+        assert int(a["num_samples"][0]) == int(b["num_samples"][0])

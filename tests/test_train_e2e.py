@@ -159,3 +159,30 @@ def test_dynamic_state_survives_resume(scene_dir, tmp_path, monkeypatch):
     assert (t2._dyn_rays, t2._dyn_march.num_samples, t2._dyn_budget) == adapted
     t2.train(num_iterations=80)  # continues with the adapted shapes
     assert t2.step == 80
+
+
+def test_periodic_readapt_resizes_budget(scene_dir, tmp_path, monkeypatch):
+    """adapt_every re-runs _adapt_batch when mean samples/ray drifts
+    after the one-shot adapt steps (occupancy keeps pruning past them)."""
+    monkeypatch.chdir(tmp_path)
+    import dataclasses as dc
+
+    trainer = _trainer(scene_dir, tmp_path, method="rgb", iters=96)
+    trainer.config = dc.replace(
+        trainer.config,
+        dynamic_batching=True,
+        adapt_steps=(16,),
+        adapt_every=16,
+        adapt_drift=0.0,  # any drift triggers: forces the periodic path
+    )
+    trainer.setup()
+    calls = []
+    orig = trainer._adapt_batch
+    trainer._adapt_batch = lambda s: (calls.append(trainer.step), orig(s))[1]
+    trainer.train(num_iterations=32)
+    assert calls and calls[0] == 16  # one-shot adapt fired
+    n_scheduled = len(calls)
+    trainer.train()  # periodic checks at 48, 64, 80, 96
+    assert len(calls) > n_scheduled, calls  # periodic re-adapt fired
+    # budget tracks the measured mean: ~1.3x mean samples/ray x rays
+    assert trainer._dyn_budget <= 1.35 * trainer._dyn_rays * 32

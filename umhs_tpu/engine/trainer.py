@@ -78,6 +78,15 @@ class TrainerConfig:
     dynamic_batching: bool = True
     target_num_samples: int = 1 << 18
     adapt_steps: Tuple[int, ...] = (512, 2048)
+    # Periodic re-adaptation: after the one-shot adapt_steps, re-check every
+    # `adapt_every` steps and re-size (rays, samples/ray, compact budget)
+    # whenever measured mean samples/ray drifts more than `adapt_drift` from
+    # the value the current budget was sized for. The occupancy grid keeps
+    # pruning long after the scheduled adapts, leaving the compact buffer
+    # (and the padded march lanes) ~2x oversized — pure gather/scatter waste
+    # on the hash table, the dominant step cost. 0 disables.
+    adapt_every: int = 1024
+    adapt_drift: float = 0.2
     optimizer: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
 
 
@@ -331,15 +340,32 @@ class Trainer:
             # dynamic batch adaptation at scheduled one-shot boundaries
             # (occupancy-marching sampler only; the proposal sampler has a
             # fixed per-ray sample count by construction)
-            if (
-                cfg.dynamic_batching
-                and self.model.config.sampler == "occgrid"
-                and any(
+            if cfg.dynamic_batching and self.model.config.sampler == "occgrid":
+                scheduled = any(
                     self.step - self._last_n < s <= self.step
                     for s in cfg.adapt_steps
                 )
-            ):
-                self._adapt_batch(float(metrics["num_samples_per_batch"]))
+                periodic = False
+                if (
+                    not scheduled
+                    and cfg.adapt_every > 0
+                    and cfg.adapt_steps
+                    and self.step > max(cfg.adapt_steps)
+                    and crossed(cfg.adapt_every)
+                ):
+                    # re-adapt only on real drift: occupancy keeps pruning
+                    # long after the scheduled adapts, leaving the compact
+                    # budget oversized (wasted hash gathers/scatters)
+                    mean_spr = float(metrics["num_samples_per_batch"]) / max(
+                        self._dyn_rays, 1
+                    )
+                    sized_for = self._dyn_budget / (1.3 * max(self._dyn_rays, 1))
+                    periodic = abs(mean_spr - sized_for) > cfg.adapt_drift * sized_for
+                if scheduled or periodic:
+                    self._adapt_batch(
+                        float(metrics["num_samples_per_batch"]),
+                        p99=float(metrics.get("num_occupied_p99", 0.0)),
+                    )
 
             if crossed(cfg.steps_per_log) or self.step == total_iters:
                 metrics = {k2: float(v) for k2, v in metrics.items()}
@@ -376,13 +402,17 @@ class Trainer:
         last_metrics["total_train_time_s"] = time.time() - t_start
         return last_metrics
 
-    def _adapt_batch(self, samples_per_batch: float) -> None:
+    def _adapt_batch(self, samples_per_batch: float, p99: float = 0.0) -> None:
         """Resize (rays, samples-per-ray) to the measured occupancy.
 
-        mean samples/ray after grid convergence is far below the static pad;
-        pick S' with ~3x headroom over the mean (the marcher's stride
-        subsample absorbs tail rays losslessly in optical depth) and R' to
-        hit ~target_num_samples of *useful* field evaluations per step.
+        mean samples/ray after grid convergence is far below the static pad.
+        S' is sized from the *tail* of the per-ray occupied-count
+        distribution (p99 + headroom): clamping S near the mean forces the
+        marcher's strided dt-rescale onto tail rays (silhouettes/grazing),
+        measured at ~-8 dB of rendering quality. The mean sizes only the
+        compact field budget and R' (~target_num_samples useful field
+        evaluations per step) — large S costs just cheap (R, S) VPU lanes,
+        the field cost is the budget.
         """
         import dataclasses as dc
 
@@ -394,7 +424,8 @@ class Trainer:
         def round_up(x, m):
             return int(-(-x // m) * m)
 
-        new_s = min(s0, max(2 * osub, round_up(3.0 * mean_spr, osub)))
+        tail = 1.25 * p99 if p99 > 0 else 3.0 * mean_spr
+        new_s = min(s0, max(2 * osub, round_up(tail, osub)))
         new_r = int(cfg.target_num_samples / max(mean_spr, 1.0))
         # keep the ray batch divisible by the patch area (patch sampling
         # emits whole patch_size^2 blocks) as well as 256-aligned

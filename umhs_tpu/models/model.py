@@ -106,6 +106,20 @@ class ModelConfig:
     # Cuts march occupancy-gather rows ~2x at equal coverage.
     march_pool: int = 4
     early_stop_eps: float = 1e-4
+    # Approximate early ray termination at march time: drop candidates
+    # behind an accumulated optical depth (from the occupancy state's
+    # lower-envelope density tracker) above this threshold. DISABLED by
+    # default: per-cell scalar bounds cannot soundly bound a ray's od at
+    # cell granularity (corner-clipping intervals overcharge without
+    # bound) — measured -6.5 dB of rendering quality even with the
+    # geometric-rise envelope at od 11.5 (docs/PERFORMANCE.md, round-2
+    # lessons). Exact termination is done instead by the staged field
+    # evaluation (below), which skips later depth stages once the TRUE
+    # transmittance crosses early_stop_eps — nerfacc's sigma_fn-based
+    # termination semantics (/root/reference/umhsnerf/umhs_model.py:229-237)
+    # at stage granularity. Gated by march_early_stop_warmup when enabled.
+    march_early_stop_od: float = 0.0
+    march_early_stop_warmup: int = 512
     compute_dtype: str = "float32"  # or "bfloat16"
     stochastic_hash_grad: bool = True  # one-corner gradient splatting
     # Compact-space field evaluation: gather valid samples into a fixed
@@ -175,6 +189,7 @@ class UMHSModel:
             far_plane=config.far_plane,
             occ_subsamples=config.occ_subsamples,
             pool=pool,
+            early_stop_od=config.march_early_stop_od,
         )
         self.field_config = FieldConfig(
             method=config.method,
@@ -261,6 +276,7 @@ class UMHSModel:
         train: bool = True,
         march_config: Optional[MarchConfig] = None,
         compact_budget: Optional[int] = None,
+        step: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
         """Render a batch of rays.
 
@@ -289,6 +305,15 @@ class UMHSModel:
 
         compact = cfg.compact_samples
         B = compact_budget or self._compact_budget(R, S)
+        # od culling is gated off while the EMA grid is still warming up
+        # (max-biased estimates on a half-formed field cull real samples)
+        od_val = None
+        if step is not None and cfg.march_early_stop_od > 0.0:
+            od_val = jnp.where(
+                step >= cfg.march_early_stop_warmup,
+                cfg.march_early_stop_od,
+                jnp.inf,
+            )
         march = march_rays(
             occ_binaries,
             self.occ_config,
@@ -298,6 +323,11 @@ class UMHSModel:
             rng=rng if train else None,
             total_budget=B if compact else None,
             binaries_pooled=occ_state.get("binaries_pooled"),
+            # culling uses the LOWER-envelope density (quality-safe: culled
+            # samples provably have transmittance < e^-od); absent in old
+            # checkpoints -> culling off
+            occs=occ_state.get("occs_low"),
+            early_stop_od_value=od_val,
         )
         t_starts, t_ends, mask = march["t_starts"], march["t_ends"], march["mask"]
         d_unit = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
@@ -409,6 +439,7 @@ class UMHSModel:
             "accumulation": render_accumulation(weights),
             "depth": render_depth_expected(weights, t_starts, t_ends, mask),
             "num_samples_per_ray": march["num_samples"],
+            "num_occupied_per_ray": march["num_occupied"],
         }
 
         if cfg.method == "rgb":
@@ -675,6 +706,11 @@ class UMHSModel:
             "rmse": jnp.sqrt(mse),
             "num_samples_per_batch": jnp.sum(outputs["num_samples_per_ray"]),
         }
+        if "num_occupied_per_ray" in outputs:
+            # tail statistic for the trainer's dynamic S sizing
+            m["num_occupied_p99"] = jnp.percentile(
+                outputs["num_occupied_per_ray"].astype(jnp.float32), 99.0
+            )
         if "spectral" in self.config.method and "hs_image" in batch:
             mse_s = jnp.mean((outputs["spectral"] - batch["hs_image"]) ** 2)
             m["psnr_spectral"] = -10.0 * jnp.log10(jnp.maximum(mse_s, 1e-12))

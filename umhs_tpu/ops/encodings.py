@@ -308,7 +308,13 @@ def _lane_axis(p, o_key, lane):
 
 def _hash_lane_index(cx, cy, cz, lane):
     """Table row index per lane from integer corner coords (N, lanes):
-    dense levels use the linear index, hashed levels the XOR-prime hash."""
+    dense levels use the linear index, hashed levels the XOR-prime hash.
+
+    No integer modulo anywhere (the VPU has no hardware int div; a general
+    `% size` on (N, 128) lanes is a multi-op expansion): dense linear
+    indices are < size by construction (coords are clipped to res-1), and
+    hashed level sizes are always the power-of-two hashmap_size, so the mod
+    is a bitwise AND."""
     res_u = jnp.asarray(lane["res"]).astype(jnp.uint32)
     cxu, cyu, czu = cx.astype(jnp.uint32), cy.astype(jnp.uint32), cz.astype(jnp.uint32)
     dense_idx = cxu + cyu * res_u + czu * res_u * res_u
@@ -316,9 +322,8 @@ def _hash_lane_index(cx, cy, cz, lane):
         cxu * np.uint32(_HASH_PRIMES[0])
         ^ cyu * np.uint32(_HASH_PRIMES[1])
         ^ czu * np.uint32(_HASH_PRIMES[2])
-    )
-    size_u = jnp.asarray(lane["size"])
-    idx = jnp.where(jnp.asarray(lane["dense"]), dense_idx % size_u, hashed_idx % size_u)
+    ) & jnp.asarray(lane["size"] - 1)
+    idx = jnp.where(jnp.asarray(lane["dense"]), dense_idx, hashed_idx)
     return idx.astype(jnp.int32) + jnp.asarray(lane["offset"])
 
 
@@ -396,17 +401,7 @@ def _lane_indices_weights(pos: jnp.ndarray, config: HashEncodingConfig):
     cy, wy = _lane_axis(py, "oy", lane)
     cz, wz = _lane_axis(pz, "oz", lane)
 
-    res_u = jnp.asarray(lane["res"]).astype(jnp.uint32)
-    cxu, cyu, czu = cx.astype(jnp.uint32), cy.astype(jnp.uint32), cz.astype(jnp.uint32)
-    dense_idx = cxu + cyu * res_u + czu * res_u * res_u
-    hashed_idx = (
-        cxu * np.uint32(_HASH_PRIMES[0])
-        ^ cyu * np.uint32(_HASH_PRIMES[1])
-        ^ czu * np.uint32(_HASH_PRIMES[2])
-    )
-    size_u = jnp.asarray(lane["size"])
-    idx = jnp.where(jnp.asarray(lane["dense"]), dense_idx % size_u, hashed_idx % size_u)
-    idx = idx.astype(jnp.int32) + jnp.asarray(lane["offset"])  # (N, lanes)
+    idx = _hash_lane_index(cx, cy, cz, lane)  # (N, lanes)
     weights = wx * wy * wz  # (N, lanes) f32
     return idx, weights, lane
 
@@ -415,6 +410,11 @@ def _hash_encode_impl(table, pos, config: HashEncodingConfig):
     n = pos.shape[0]
     F = config.features_per_level
     idx, weights, lane = _lane_indices_weights(pos, config)
+    # Fusion break: letting XLA fuse the index computation into the gather's
+    # operand slows the gather itself ~1.5x (measured on v5e: 209 -> 142 ms
+    # at 21.6M rows). Materialise indices first; the gather then runs at the
+    # raw-gather rate.
+    idx = jax.lax.optimization_barrier(idx)
     weights = weights.astype(table.dtype)
     reduce_mat = jnp.asarray(lane["reduce"], dtype=jnp.float32)  # (lanes, L)
 
@@ -517,13 +517,15 @@ def _hash_encode_bwd(config, res, g):
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         ).astype(jnp.int32)  # (N, L) — exact: indices < 2^24
-        flat_idx = idx_sel * F
+        # fusion break before the scatter for the same reason as the
+        # forward gather: fused index math slows the scatter op itself
+        flat_idx = jax.lax.optimization_barrier(idx_sel * F)
         for f in range(F):
             grad_flat = grad_flat.at[(flat_idx + f).reshape(-1)].add(
                 g[:, :, f].reshape(-1)
             )
     else:
-        flat_idx = idx * F  # (N, lanes)
+        flat_idx = jax.lax.optimization_barrier(idx * F)  # (N, lanes)
         for f in range(F):
             # broadcast level grads to vertex lanes, apply interp weights
             g_lane = jnp.repeat(g[:, :, f], V, axis=1) * weights  # (N, lanes)

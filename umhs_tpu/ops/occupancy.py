@@ -39,6 +39,17 @@ class OccGridConfig:
     occ_thre: float = 0.01
     warmup_steps: int = 256
     update_interval: int = 16
+    # Post-warmup cell-sampling fractions: nerfacc samples res^3/4 cells on
+    # EVERY level each update (_sample_uniform_and_occupied_cells). The
+    # density evals behind that are the single largest amortised train cost
+    # on TPU (levels * res^3/4 hash encodes per update), and the outer
+    # cascades (levels >= 1: 2x/4x/8x larger boxes, mostly empty background)
+    # change far more slowly than the level-0 box the scene lives in. So
+    # level 0 keeps the nerfacc rate and outer levels sample at a quarter of
+    # it — a documented TPU-native deviation (outer-level pruning responds
+    # ~4x slower; level-0 parity exact).
+    sample_fraction: float = 0.25
+    outer_sample_fraction: float = 0.0625
     # max-pool factor for the hierarchical march pre-pass bitfield
     # (0 disables; resolution must be divisible by it)
     pool: int = 0
@@ -78,6 +89,17 @@ def init_occ_state(config: OccGridConfig):
     n = config.levels * config.cells_per_level
     state = {
         "occs": jnp.zeros((n,), dtype=jnp.float32),
+        # lower-envelope density tracker (fast-down / slow-up EMA of the
+        # same probes): a per-cell LOWER bound on density*step, used by the
+        # march's early ray termination. Culling on a lower bound is
+        # quality-safe: od_low > thre implies od_true > thre implies the
+        # culled sample's transmittance is certainly below e^-thre. The
+        # max-biased `occs` (nerfacc semantics, used for binarisation)
+        # over-culls grazing rays through boundary cells by orders of
+        # magnitude; the lower envelope stays ~0 there (probes hit the
+        # empty side) while rising to the interior density inside solid
+        # objects — exactly where termination is valid.
+        "occs_low": jnp.zeros((n,), dtype=jnp.float32),
         "binaries": jnp.zeros((n,), dtype=jnp.bool_),
     }
     if config.pool > 1:
@@ -117,18 +139,19 @@ def _level_world_positions(
     return center + unit * half * scale
 
 
-def query_occupancy(
-    binaries: jnp.ndarray,
+def query_grid_values(
+    grid: jnp.ndarray,
     positions: jnp.ndarray,
     config: OccGridConfig,
     res: Optional[int] = None,
-) -> jnp.ndarray:
-    """Occupancy of world positions (..., 3) -> bool (...,).
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-level grid lookup of world positions (..., 3) -> (values, inside).
 
-    Uses the finest level whose box contains the position; positions outside
-    the coarsest level are unoccupied. `res` overrides the per-level grid
+    Uses the finest level whose box contains the position; `inside` is False
+    outside the coarsest level. Works for the bool bitfield and for the
+    float EMA `occs` values alike. `res` overrides the per-level grid
     resolution — used to query the max-pooled bitfield in the hierarchical
-    march pre-pass (binaries must then be the pooled field).
+    march pre-pass (grid must then be the pooled field).
     """
     center = jnp.asarray(config.center)
     half = jnp.asarray(config.half_extent)
@@ -149,7 +172,22 @@ def query_occupancy(
         + ijk[..., 1] * res
         + ijk[..., 2] * res * res
     )
-    occ = jnp.take(binaries, flat.reshape(-1), axis=0).reshape(flat.shape)
+    # fusion break: fusing the (log2/exp2-heavy) index computation into the
+    # gather operand slows the gather op itself on TPU (see
+    # ops/encodings._hash_encode_impl; measured ~1.5x there)
+    flat = jax.lax.optimization_barrier(flat)
+    vals = jnp.take(grid, flat.reshape(-1), axis=0).reshape(flat.shape)
+    return vals, inside
+
+
+def query_occupancy(
+    binaries: jnp.ndarray,
+    positions: jnp.ndarray,
+    config: OccGridConfig,
+    res: Optional[int] = None,
+) -> jnp.ndarray:
+    """Occupancy of world positions (..., 3) -> bool (...,)."""
+    occ, inside = query_grid_values(binaries, positions, config, res=res)
     return occ & inside
 
 
@@ -175,11 +213,11 @@ def update_occ_state(
     render_step_size: float,
     rng: jax.Array,
     full: bool,
-    sample_fraction: float = 0.25,
 ):
     """One EMA update of the grid. `full=True` updates every cell (warmup);
-    otherwise a random quarter of cells per level (sampled with replacement,
-    matching nerfacc's post-warmup schedule)."""
+    otherwise a random subset per level (config.sample_fraction for level 0,
+    config.outer_sample_fraction for the outer cascades; sampled with
+    replacement, half uniform + half currently-occupied as in nerfacc)."""
     res3 = config.cells_per_level
     L = config.levels
     k_jit, k_cells = jax.random.split(rng)
@@ -194,25 +232,32 @@ def update_occ_state(
         # Occupied draw: uniform rank in the per-level occupied count,
         # inverted through the running count with searchsorted (static
         # shapes); levels with no occupied cells fall back to uniform.
-        m = int(res3 * sample_fraction)
-        m_occ = m // 2
-        m_uni = m - m_occ
-        k_cells, k_fall, k_rank = jax.random.split(k_cells, 3)
-        uni = jax.random.randint(k_cells, (L, m_uni), 0, res3, dtype=jnp.int32)
         bin_lvl = state["binaries"].reshape(L, res3)
         cum = jnp.cumsum(bin_lvl.astype(jnp.int32), axis=1)  # (L, res3)
         count = cum[:, -1]  # (L,)
-        u = jax.random.uniform(k_rank, (L, m_occ))
-        rank = jnp.floor(u * count[:, None].astype(jnp.float32)).astype(jnp.int32)
-        occ_idx = jax.vmap(
-            lambda c, r: jnp.searchsorted(c, r, side="right")
-        )(cum, rank).astype(jnp.int32)
-        fallback = jax.random.randint(k_fall, (L, m_occ), 0, res3, dtype=jnp.int32)
-        occ_idx = jnp.where(
-            count[:, None] > 0, jnp.minimum(occ_idx, res3 - 1), fallback
-        )
-        cell_flat = jnp.concatenate([uni, occ_idx], axis=1).reshape(-1)
-        level = jnp.repeat(jnp.arange(L, dtype=jnp.int32), m)
+        cells, levels = [], []
+        for lvl_i in range(L):
+            frac = config.sample_fraction if lvl_i == 0 else (
+                config.outer_sample_fraction or config.sample_fraction
+            )
+            m = max(int(res3 * frac), 2)
+            m_occ = m // 2
+            m_uni = m - m_occ
+            k_cells, k_uni, k_fall, k_rank = jax.random.split(k_cells, 4)
+            uni = jax.random.randint(k_uni, (m_uni,), 0, res3, dtype=jnp.int32)
+            u = jax.random.uniform(k_rank, (m_occ,))
+            rank = jnp.floor(u * count[lvl_i].astype(jnp.float32)).astype(jnp.int32)
+            occ_idx = jnp.searchsorted(cum[lvl_i], rank, side="right").astype(
+                jnp.int32
+            )
+            fallback = jax.random.randint(k_fall, (m_occ,), 0, res3, dtype=jnp.int32)
+            occ_idx = jnp.where(
+                count[lvl_i] > 0, jnp.minimum(occ_idx, res3 - 1), fallback
+            )
+            cells.append(jnp.concatenate([uni, occ_idx]))
+            levels.append(jnp.full((m,), lvl_i, dtype=jnp.int32))
+        cell_flat = jnp.concatenate(cells)
+        level = jnp.concatenate(levels)
 
     jitter = jax.random.uniform(k_jit, (cell_flat.shape[0], 3))
     positions = _level_world_positions(config, level, cell_flat, jitter)
@@ -222,12 +267,31 @@ def update_occ_state(
     old = jnp.take(state["occs"], flat_idx, axis=0)
     # defense in depth: a single NaN here would persist forever through the
     # EMA max and silently empty the grid
-    new = jnp.maximum(old * config.ema_decay, jnp.nan_to_num(occ))
+    occ = jnp.nan_to_num(occ)
+    new = jnp.maximum(old * config.ema_decay, occ)
     occs = state["occs"].at[flat_idx].set(new)
+
+    # lower envelope: drop instantly to a lower probe, rise GEOMETRICALLY
+    # (x2 per update, seeded at occ_thre) under persistently higher
+    # probes — a per-cell lower bound on density*step for quality-safe
+    # march termination (see init_occ_state). The rise must be
+    # multiplicative: probe densities are heavy-tailed (a sharp surface
+    # spike inside a mostly-empty cell reads 0.05 or 900 depending on the
+    # jitter), and a linear pull like 0.75*low + 0.25*probe jumps a
+    # boundary cell's "lower bound" to ~225 on a single high probe —
+    # measured -13.6 dB of rendering loss from the resulting over-culling.
+    old_low = jnp.take(
+        state.get("occs_low", state["occs"]), flat_idx, axis=0
+    )
+    rise = jnp.maximum(old_low * 2.0, config.occ_thre)
+    new_low = jnp.minimum(occ, rise)
+    occs_low = state.get(
+        "occs_low", jnp.zeros_like(state["occs"])
+    ).at[flat_idx].set(new_low)
 
     thre = jnp.minimum(jnp.mean(occs), config.occ_thre)
     binaries = occs > thre
-    out = {"occs": occs, "binaries": binaries}
+    out = {"occs": occs, "occs_low": occs_low, "binaries": binaries}
     if config.pool > 1:
         out["binaries_pooled"] = _pool_binaries(binaries, config)
     return out
@@ -247,6 +311,8 @@ def mark_all_occupied(state):
         "occs": state["occs"],
         "binaries": jnp.ones_like(state["binaries"]),
     }
+    if "occs_low" in state:
+        out["occs_low"] = state["occs_low"]
     if "binaries_pooled" in state:
         out["binaries_pooled"] = jnp.ones_like(state["binaries_pooled"])
     return out

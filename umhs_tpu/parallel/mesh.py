@@ -82,6 +82,7 @@ def make_grad_fn(
             outputs = model.forward(
                 p, occ, rays, rng=k_march, train=True,
                 march_config=march_cfg, compact_budget=local_budget,
+                step=step,
             )
             loss_dict = model.loss(outputs, batch, k_bg, step=step)
             return sum(loss_dict.values()), (loss_dict, outputs)
