@@ -256,3 +256,42 @@ class TestCompactSamples:
         g = jax.grad(total)(params)
         assert float(jnp.abs(g["hash_table"]).sum()) > 0
         assert float(jnp.abs(g["endmembers"]).sum()) > 0
+
+
+class TestStagedEval:
+    """Staged compact evaluation with exact transmittance termination
+    (nerfacc sigma_fn semantics at stage granularity)."""
+
+    def test_staged_budgets_match_single(self):
+        model = _small_model(stage_samples=4)
+        params, occ = model.init(jax.random.PRNGKey(0))
+        occ = mark_all_occupied(occ)
+        r = _rays(64)
+        a = model.forward(params, occ, r, rng=jax.random.PRNGKey(1),
+                          compact_budget=1024)
+        b = model.forward(params, occ, r, rng=jax.random.PRNGKey(1),
+                          compact_budget=(256, 768))
+        for k in ("rgb", "spectral", "accumulation", "depth"):
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), atol=1e-5
+            )
+        assert int(b["num_eval_s1_per_ray"].sum()) == 256
+        assert int(b["num_eval_s2_per_ray"].sum()) == 768
+
+    def test_termination_skips_occluded_tail(self):
+        # train a few steps is overkill: fake an opaque field by scaling
+        # the density MLP's output bias enormously -> every sample opaque,
+        # so stage 2 must evaluate ~nothing while renders stay finite
+        model = _small_model(stage_samples=4)
+        params, occ = model.init(jax.random.PRNGKey(0))
+        occ = mark_all_occupied(occ)
+        params["mlp_base"]["layers"][-1]["b"] = (
+            params["mlp_base"]["layers"][-1]["b"].at[0].set(50.0)
+        )  # trunc_exp clamps at 15 -> density e^15 everywhere
+        r = _rays(64)
+        out = model.forward(params, occ, r, rng=jax.random.PRNGKey(1),
+                            compact_budget=(256, 768))
+        assert int(out["num_eval_s1_per_ray"].sum()) > 0
+        assert int(out["num_eval_s2_per_ray"].sum()) == 0  # all rays dead
+        assert bool(jnp.all(jnp.isfinite(out["rgb"])))
+        assert float(out["accumulation"].min()) > 0.9  # opaque renders

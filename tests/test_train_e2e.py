@@ -178,7 +178,7 @@ def test_periodic_readapt_resizes_budget(scene_dir, tmp_path, monkeypatch):
     trainer.setup()
     calls = []
     orig = trainer._adapt_batch
-    trainer._adapt_batch = lambda s: (calls.append(trainer.step), orig(s))[1]
+    trainer._adapt_batch = lambda *a, **kw: (calls.append(trainer.step), orig(*a, **kw))[1]
     trainer.train(num_iterations=32)
     assert calls and calls[0] == 16  # one-shot adapt fired
     n_scheduled = len(calls)

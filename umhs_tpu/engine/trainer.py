@@ -303,6 +303,7 @@ class Trainer:
             # pre-adaptation: no compact truncation (full R*S budget) so the
             # bootstrap phase on a dense grid samples exactly like nerfacc
             self._dyn_budget = self._dyn_rays * self._dyn_march.num_samples
+            self._dyn_budget2 = None
             self._train_step_fn = True  # built lazily per (n, rays, march)
         total_iters = num_iterations or cfg.max_num_iterations
 
@@ -324,10 +325,15 @@ class Trainer:
                 )
 
             n = min(interval - (step % interval), total_iters - step)
-            key = (n, self._dyn_rays, self._dyn_march.num_samples, self._dyn_budget)
+            budget = (
+                (self._dyn_budget, self._dyn_budget2)
+                if self._dyn_budget2 is not None
+                else self._dyn_budget
+            )
+            key = (n, self._dyn_rays, self._dyn_march.num_samples, budget)
             if key not in self._chunk_fns:
                 self._chunk_fns[key] = self._build_train_chunk(
-                    n, self._dyn_rays, self._dyn_march, self._dyn_budget
+                    n, self._dyn_rays, self._dyn_march, budget
                 )
             self.state, metrics = self._chunk_fns[key](
                 self.state, self.train_data, self.train_cam
@@ -355,16 +361,24 @@ class Trainer:
                 ):
                     # re-adapt only on real drift: occupancy keeps pruning
                     # long after the scheduled adapts, leaving the compact
-                    # budget oversized (wasted hash gathers/scatters)
-                    mean_spr = float(metrics["num_samples_per_batch"]) / max(
-                        self._dyn_rays, 1
-                    )
-                    sized_for = self._dyn_budget / (1.3 * max(self._dyn_rays, 1))
-                    periodic = abs(mean_spr - sized_for) > cfg.adapt_drift * sized_for
+                    # budgets oversized (wasted hash gathers/scatters)
+                    eval_now = float(
+                        metrics.get("num_eval_s1_per_batch", 0.0)
+                    ) + float(metrics.get("num_eval_s2_per_batch", 0.0))
+                    if eval_now <= 0.0:
+                        eval_now = float(metrics["num_samples_per_batch"])
+                    mean_now = eval_now / max(self._dyn_rays, 1)
+                    sized_for = (
+                        self._dyn_budget / 1.3
+                        + (self._dyn_budget2 or 0) / 1.6
+                    ) / max(self._dyn_rays, 1)
+                    periodic = abs(mean_now - sized_for) > cfg.adapt_drift * sized_for
                 if scheduled or periodic:
                     self._adapt_batch(
                         float(metrics["num_samples_per_batch"]),
                         p99=float(metrics.get("num_occupied_p99", 0.0)),
+                        eval_s1=float(metrics.get("num_eval_s1_per_batch", 0.0)),
+                        eval_s2=float(metrics.get("num_eval_s2_per_batch", 0.0)),
                     )
 
             if crossed(cfg.steps_per_log) or self.step == total_iters:
@@ -402,17 +416,23 @@ class Trainer:
         last_metrics["total_train_time_s"] = time.time() - t_start
         return last_metrics
 
-    def _adapt_batch(self, samples_per_batch: float, p99: float = 0.0) -> None:
-        """Resize (rays, samples-per-ray) to the measured occupancy.
+    def _adapt_batch(
+        self,
+        samples_per_batch: float,
+        p99: float = 0.0,
+        eval_s1: float = 0.0,
+        eval_s2: float = 0.0,
+    ) -> None:
+        """Resize (rays, samples-per-ray, stage budgets) to measurements.
 
         mean samples/ray after grid convergence is far below the static pad.
         S' is sized from the *tail* of the per-ray occupied-count
         distribution (p99 + headroom): clamping S near the mean forces the
         marcher's strided dt-rescale onto tail rays (silhouettes/grazing),
-        measured at ~-8 dB of rendering quality. The mean sizes only the
-        compact field budget and R' (~target_num_samples useful field
-        evaluations per step) — large S costs just cheap (R, S) VPU lanes,
-        the field cost is the budget.
+        measured at ~-8 dB of rendering quality. The measured per-stage
+        field-evaluation means size only the compact stage budgets and R'
+        (~target_num_samples useful field evaluations per step) — large S
+        costs just cheap (R, S) VPU lanes; the field cost is the budgets.
         """
         import dataclasses as dc
 
@@ -426,7 +446,14 @@ class Trainer:
 
         tail = 1.25 * p99 if p99 > 0 else 3.0 * mean_spr
         new_s = min(s0, max(2 * osub, round_up(tail, osub)))
-        new_r = int(cfg.target_num_samples / max(mean_spr, 1.0))
+        # R sized by EVALUATED samples (staged termination skips invisible
+        # tails; marched-but-skipped lanes cost no field work)
+        mean_eval = (
+            (eval_s1 + eval_s2) / max(self._dyn_rays, 1)
+            if eval_s1 > 0
+            else mean_spr
+        )
+        new_r = int(cfg.target_num_samples / max(mean_eval, 1.0))
         # keep the ray batch divisible by the patch area (patch sampling
         # emits whole patch_size^2 blocks) as well as 256-aligned
         p2 = max(self.datamanager.config.patch_size, 1) ** 2
@@ -434,17 +461,45 @@ class Trainer:
         new_r = max(align, min(1 << 17, (new_r // align) * align))
         if (new_s, new_r) == (self._dyn_march.num_samples, self._dyn_rays):
             return
+        scale_r = new_r / max(self._dyn_rays, 1)
         print(
-            f"[trainer] dynamic batch: mean samples/ray {mean_spr:.1f} -> "
+            f"[trainer] dynamic batch: mean eval samples/ray {mean_eval:.1f} "
+            f"(marched {mean_spr:.1f}, p99 {p99:.0f}) -> "
             f"rays {self._dyn_rays}->{new_r}, samples/ray "
             f"{self._dyn_march.num_samples}->{new_s}"
         )
         self._dyn_rays = new_r
         self._dyn_march = dc.replace(self._dyn_march, num_samples=new_s)
-        # compact field buffer: ~1.3x the measured mean useful samples
-        self._dyn_budget = max(
-            4096, int(1.3 * mean_spr * new_r) // 256 * 256
-        )
+        # compact stage budgets: ~1.3x the measured per-stage means (stage 2
+        # gets extra headroom — its occupancy is the most variable)
+        if eval_s1 > 0 and self.model.config.stage_samples > 0 and \
+                self.model.config.stage_samples < new_s:
+            s1_cap = self.model.config.stage_samples
+            self._dyn_budget = max(
+                4096, int(1.3 * eval_s1 * scale_r) // 256 * 256
+            )
+            if eval_s2 <= 0.0 or (
+                self._dyn_budget2 is not None
+                and eval_s2 >= 0.9 * self._dyn_budget2
+            ):
+                # stage-2 demand unmeasured (first staged adapt), or the
+                # previous measurement ran into its own budget ceiling
+                # (truncation hides true demand): bootstrap from the
+                # marched tail — mean excess over the stage-1 lanes,
+                # bounded below by the stage-1 budget
+                est = max(mean_spr - s1_cap, 0.25 * mean_spr) * new_r
+                self._dyn_budget2 = max(
+                    self._dyn_budget, int(1.6 * est) // 256 * 256
+                )
+            else:
+                self._dyn_budget2 = max(
+                    4096, int(1.6 * eval_s2 * scale_r) // 256 * 256
+                )
+        else:
+            self._dyn_budget = max(
+                4096, int(1.3 * mean_spr * new_r) // 256 * 256
+            )
+            self._dyn_budget2 = None
 
     # ------------------------------------------------------------------
     def eval_batch(self) -> Dict[str, float]:
@@ -629,6 +684,7 @@ class Trainer:
                         "rays": self._dyn_rays,
                         "num_samples": self._dyn_march.num_samples,
                         "budget": self._dyn_budget,
+                        "budget2": self._dyn_budget2,
                     },
                     f,
                 )
@@ -675,6 +731,8 @@ class Trainer:
                 self.model.march_config, num_samples=int(dyn["num_samples"])
             )
             self._dyn_budget = int(dyn["budget"])
+            b2 = dyn.get("budget2")
+            self._dyn_budget2 = int(b2) if b2 is not None else None
         # endmember dump on load (reference umhs_pipeline.py:175)
         if "endmembers" in self.state["params"]:
             np.save(

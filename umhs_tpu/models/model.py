@@ -128,6 +128,12 @@ class ModelConfig:
     # The marcher's global budget guarantees the buffer never overflows.
     compact_samples: bool = True
     compact_fraction: float = 0.5
+    # Staged exact early termination (compact path): evaluate the field on
+    # the first `stage_samples` depth-ordered lanes, compute the TRUE
+    # transmittance, and skip the remaining lanes of rays already below
+    # early_stop_eps — nerfacc's sigma_fn termination at stage granularity
+    # (/root/reference/umhsnerf/umhs_model.py:229-237). 0 disables staging.
+    stage_samples: int = 16
     # Sampler family: 'occgrid' (the reference method's nerfacc-style
     # occupancy marching) or 'proposal' (nerfacto-style proposal networks
     # with PDF resampling — no occupancy grid, robust on unbounded scenes).
@@ -321,7 +327,11 @@ class UMHSModel:
             o,
             d,
             rng=rng if train else None,
-            total_budget=B if compact else None,
+            total_budget=(
+                (sum(B) if isinstance(B, (tuple, list)) else B)
+                if compact
+                else None
+            ),
             binaries_pooled=occ_state.get("binaries_pooled"),
             # culling uses the LOWER-envelope density (quality-safe: culled
             # samples provably have transmittance < e^-od); absent in old
@@ -334,77 +344,162 @@ class UMHSModel:
         positions = sample_positions(o, d, t_starts, t_ends)  # (R, S, 3)
 
         if compact:
-            # --- compact-space field evaluation -------------------------
+            # --- staged compact-space field evaluation -------------------
             # The padded (R, S) block is mostly masked lanes once the grid
-            # converges; gather the valid samples (ray-major, contiguous per
-            # ray) into a fixed (B,) buffer and run the expensive field only
-            # there. Per-ray reductions become prefix-sum segment sums
-            # (scatter-free; see compositing.segment_accumulate).
-            flat_mask = mask.reshape(-1)
-            slot = jnp.cumsum(flat_mask.astype(jnp.int32)) - flat_mask.astype(jnp.int32)
-            # Defensive clamp: the marcher's per-ray min-1 bump can push the
-            # batch total past the compact budget (sum(budget) > B when more
-            # rays have >=1 occupied candidate than the scaled budget allows).
-            # Drop overflow samples here so the slot->density gather below can
-            # never read a wrong compact row; counts/weights are recomputed
-            # from the clamped mask.
-            flat_mask = flat_mask & (slot < B)
-            mask = flat_mask.reshape(R, S)
-            total = jnp.sum(flat_mask.astype(jnp.int32))
-            src = (
-                jnp.zeros((B,), jnp.int32)
-                .at[jnp.where(flat_mask, slot, B)]
-                .set(jnp.arange(R * S, dtype=jnp.int32), mode="drop")
-            )
-            live = (jnp.arange(B) < total).astype(jnp.float32)  # (B,)
+            # converges; valid samples are gathered (ray-major, contiguous
+            # per ray) into fixed buffers and the expensive field runs only
+            # there. Per-ray reductions are prefix-sum segment sums
+            # (scatter-free; compositing.segment_accumulate).
+            #
+            # EXACT early ray termination, nerfacc's sigma_fn semantics
+            # (/root/reference/umhsnerf/umhs_model.py:229-237) at stage
+            # granularity: lanes are depth-ordered, so evaluate the first
+            # stage_samples lanes, compute the TRUE transmittance after
+            # them (same alpha_thre filtering as render_weights), and only
+            # rays still above early_stop_eps contribute stage-2 lanes.
+            # Terminated rays' tail samples are provably invisible — they
+            # are skipped without approximation (unlike od-estimate
+            # culling, measured lossy; see docs/PERFORMANCE.md).
+            # Staging activates only with EXPLICIT per-stage budgets (the
+            # trainer supplies them post-adaptation from measured per-stage
+            # occupancy). A single budget keeps the single-stage behaviour:
+            # an even lane split of one budget can starve a stage and the
+            # overflow clamp then drops samples brutally, where the march's
+            # global-budget rescale degrades gracefully (dt-conserving).
+            S1 = min(cfg.stage_samples, S) if cfg.stage_samples > 0 else S
+            if isinstance(B, (tuple, list)) and len(B) == 2 and S1 < S:
+                stage_budgets = [int(b) for b in B]
+                lane_splits = [(0, S1), (S1, S)]
+            else:
+                stage_budgets = [sum(B) if isinstance(B, (tuple, list)) else int(B)]
+                lane_splits = [(0, S)]
 
-            pos_c = jnp.take(positions.reshape(-1, 3), src, axis=0, mode="clip")
-            ray_id = src // S
-            dirs_c = jnp.take(d_unit, ray_id, axis=0)
-            cam_c = jnp.take(cam_idx, ray_id, axis=0)
-            density_c, geo_c = field_density(params, self.field_config, pos_c)
-            heads_c = field_outputs(
-                params, self.field_config, pos_c, dirs_c, cam_c, geo_c, train=train
-            )  # dict of (B, C)
-
-            if cfg.use_gradient_scaling:
-                tmid_c = jnp.take(
-                    ((t_starts + t_ends) / 2.0).reshape(-1), src, axis=0
+            stage_data = []
+            density_parts, mask_parts = [], []
+            tmid = (t_starts + t_ends) / 2.0
+            live_rays = None  # (R,) bool: still above early_stop_eps
+            for (lo, hi), Bs in zip(lane_splits, stage_budgets):
+                L = hi - lo
+                m = mask[:, lo:hi]
+                if live_rays is not None:
+                    m = m & live_rays[:, None]
+                flat_mask = m.reshape(-1)
+                slot = jnp.cumsum(flat_mask.astype(jnp.int32)) - flat_mask.astype(
+                    jnp.int32
                 )
-                scaling_c = jnp.clip(tmid_c**2, 0.0, 1.0)
-                density_c = _grad_scale(density_c, scaling_c)
-                heads_c = {
-                    k: _grad_scale(v, scaling_c[..., None])
-                    for k, v in heads_c.items()
-                }
+                # Defensive clamp: drop overflow so the slot->density gather
+                # below can never read a wrong compact row; counts/weights
+                # are recomputed from the clamped mask.
+                flat_mask = flat_mask & (slot < Bs)
+                m = flat_mask.reshape(R, L)
+                total = jnp.sum(flat_mask.astype(jnp.int32))
+                src = (
+                    jnp.zeros((Bs,), jnp.int32)
+                    .at[jnp.where(flat_mask, slot, Bs)]
+                    .set(jnp.arange(R * L, dtype=jnp.int32), mode="drop")
+                )
+                live = (jnp.arange(Bs) < total).astype(jnp.float32)  # (Bs,)
 
-            # transmittance needs the (R, S) layout: gather density back via
-            # the slot map (each valid lane knows its compact position)
-            # mode="clip": jnp.take's default fill mode writes NaN for any
-            # out-of-bounds index — a silent poison if budgets ever disagree
-            density_rs = jnp.where(
-                mask,
-                jnp.take(density_c, slot.reshape(R, S), axis=0, mode="clip"),
-                0.0,
-            )
+                pos_c = jnp.take(
+                    positions[:, lo:hi].reshape(-1, 3), src, axis=0, mode="clip"
+                )
+                ray_id = src // L
+                dirs_c = jnp.take(d_unit, ray_id, axis=0)
+                cam_c = jnp.take(cam_idx, ray_id, axis=0)
+                density_c, geo_c = field_density(params, self.field_config, pos_c)
+                heads_c = field_outputs(
+                    params, self.field_config, pos_c, dirs_c, cam_c, geo_c,
+                    train=train,
+                )  # dict of (Bs, C)
+
+                if cfg.use_gradient_scaling:
+                    tmid_c = jnp.take(
+                        tmid[:, lo:hi].reshape(-1), src, axis=0
+                    )
+                    scaling_c = jnp.clip(tmid_c**2, 0.0, 1.0)
+                    density_c = _grad_scale(density_c, scaling_c)
+                    heads_c = {
+                        k: _grad_scale(v, scaling_c[..., None])
+                        for k, v in heads_c.items()
+                    }
+
+                # transmittance needs the (R, L) layout: gather density back
+                # via the slot map. mode="clip": jnp.take's default fill
+                # mode writes NaN for out-of-bounds — silent poison if
+                # budgets ever disagree.
+                density_l = jnp.where(
+                    m,
+                    jnp.take(density_c, slot.reshape(R, L), axis=0, mode="clip"),
+                    0.0,
+                )
+                density_parts.append(density_l)
+                mask_parts.append(m)
+                counts = jnp.sum(m.astype(jnp.int32), axis=-1)  # (R,)
+                starts = jnp.cumsum(counts) - counts
+                stage_data.append(
+                    {"src": src, "live": live, "heads": heads_c,
+                     "counts": counts, "starts": starts, "lo": lo, "hi": hi}
+                )
+
+                if hi < S:
+                    # exact per-ray transmittance after this stage, with the
+                    # same alpha_thre filtering render_weights applies
+                    delta = jnp.maximum(t_ends[:, lo:hi] - t_starts[:, lo:hi], 0.0)
+                    sd = jnp.where(m, density_l * delta, 0.0)
+                    al = 1.0 - jnp.exp(-sd)
+                    keep = jax.lax.stop_gradient(al) >= alpha_thre
+                    od_stage = jnp.sum(jnp.where(keep, sd, 0.0), axis=-1)
+                    od_so_far = (
+                        od_stage if live_rays is None
+                        else od_stage + od_prev  # noqa: F821
+                    )
+                    od_prev = jax.lax.stop_gradient(od_so_far)
+                    live_rays = od_prev < -np.log(
+                        max(cfg.early_stop_eps, 1e-30)
+                    )
+
+            mask = jnp.concatenate(mask_parts, axis=1)
+            density_rs = jnp.concatenate(density_parts, axis=1)
             weights = render_weights(
                 t_starts, t_ends, density_rs, mask,
                 alpha_thre=alpha_thre, early_stop_eps=cfg.early_stop_eps,
             )
-            w_c = jnp.take(weights.reshape(-1), src, axis=0, mode="clip") * live
-            counts = jnp.sum(mask.astype(jnp.int32), axis=-1)  # (R,) clamped
-            starts = jnp.cumsum(counts) - counts
+            for sd_ in stage_data:
+                w_st = (
+                    jnp.take(
+                        weights[:, sd_["lo"]:sd_["hi"]].reshape(-1),
+                        sd_["src"], axis=0, mode="clip",
+                    )
+                    * sd_["live"]
+                )
+                sd_["w"] = w_st
+                sd_["w_sg"] = jax.lax.stop_gradient(w_st)
 
-            def reduce_c(values_c):
-                return segment_accumulate(
-                    w_c[:, None] * values_c, starts, counts
+            def accumulate_fn(key):
+                return sum(
+                    segment_accumulate(
+                        sd_["w"][:, None] * sd_["heads"][key],
+                        sd_["starts"], sd_["counts"],
+                    )
+                    for sd_ in stage_data
                 )
 
-            heads = heads_c
-            accumulate_fn = reduce_c
-            w_c_sg = jax.lax.stop_gradient(w_c)
-            accumulate_sg = lambda v: segment_accumulate(
-                w_c_sg[:, None] * v, starts, counts
+            def accumulate_sg(key):
+                # stop-grad on the WEIGHTS only: values keep their gradient
+                # (the dino head trains through this path)
+                return sum(
+                    segment_accumulate(
+                        sd_["w_sg"][:, None] * sd_["heads"][key],
+                        sd_["starts"], sd_["counts"],
+                    )
+                    for sd_ in stage_data
+                )
+
+            num_eval_s1 = jnp.sum(mask_parts[0].astype(jnp.int32), axis=-1)
+            num_eval_s2 = (
+                jnp.sum(mask_parts[1].astype(jnp.int32), axis=-1)
+                if len(mask_parts) > 1
+                else jnp.zeros_like(num_eval_s1)
             )
         else:
             flat_pos = positions.reshape(-1, 3)
@@ -430,28 +525,35 @@ class UMHSModel:
                 t_starts, t_ends, density, mask,
                 alpha_thre=alpha_thre, early_stop_eps=cfg.early_stop_eps,
             )
-            accumulate_fn = lambda v: accumulate(weights, v)
-            accumulate_sg = lambda v: accumulate(
-                jax.lax.stop_gradient(weights), v
+            accumulate_fn = lambda key: accumulate(weights, heads[key])
+            accumulate_sg = lambda key: accumulate(
+                jax.lax.stop_gradient(weights), heads[key]
             )
+            num_eval_s1 = jnp.sum(mask.astype(jnp.int32), axis=-1)
+            num_eval_s2 = jnp.zeros_like(num_eval_s1)
 
         outputs: Dict[str, jnp.ndarray] = {
             "accumulation": render_accumulation(weights),
             "depth": render_depth_expected(weights, t_starts, t_ends, mask),
             "num_samples_per_ray": march["num_samples"],
             "num_occupied_per_ray": march["num_occupied"],
+            # field evaluations actually performed per stage (staged exact
+            # termination skips provably-invisible tails) — the trainer
+            # sizes the stage budgets and R from these
+            "num_eval_s1_per_ray": num_eval_s1,
+            "num_eval_s2_per_ray": num_eval_s2,
         }
 
         if cfg.method == "rgb":
-            outputs["rgb"] = accumulate_fn(heads["rgb"])
+            outputs["rgb"] = accumulate_fn("rgb")
 
         if "spectral" in cfg.method:
-            spectral = accumulate_fn(heads["spectral"])
+            spectral = accumulate_fn("spectral")
             outputs["spectral"] = spectral
             if cfg.pred_specular:
-                outputs["spectral2"] = accumulate_fn(heads["spectral2"])
+                outputs["spectral2"] = accumulate_fn("spectral2")
                 outputs["specular"] = jax.lax.stop_gradient(
-                    accumulate_fn(heads["specular"])
+                    accumulate_fn("specular")
                 )
             # pseudo-RGB via the CIE projection; detached for spectral-only
             rgb = self.converter(spectral)
@@ -459,7 +561,7 @@ class UMHSModel:
                 jax.lax.stop_gradient(rgb) if cfg.method == "spectral" else rgb
             )
             outputs["abundances"] = jax.lax.stop_gradient(
-                accumulate_fn(heads["abundances"])
+                accumulate_fn("abundances")
             )
 
             # unsupervised material segmentation against the endmembers
@@ -477,7 +579,7 @@ class UMHSModel:
             )
 
             if cfg.pred_dino:
-                outputs["dino"] = accumulate_sg(heads["dino"])
+                outputs["dino"] = accumulate_sg("dino")
                 ip_d, probs_d = cluster_probe(
                     jax.lax.stop_gradient(outputs["dino"]),
                     params["endmembers"],
@@ -711,6 +813,9 @@ class UMHSModel:
             m["num_occupied_p99"] = jnp.percentile(
                 outputs["num_occupied_per_ray"].astype(jnp.float32), 99.0
             )
+        if "num_eval_s1_per_ray" in outputs:
+            m["num_eval_s1_per_batch"] = jnp.sum(outputs["num_eval_s1_per_ray"])
+            m["num_eval_s2_per_batch"] = jnp.sum(outputs["num_eval_s2_per_ray"])
         if "spectral" in self.config.method and "hs_image" in batch:
             mse_s = jnp.mean((outputs["spectral"] - batch["hs_image"]) ** 2)
             m["psnr_spectral"] = -10.0 * jnp.log10(jnp.maximum(mse_s, 1e-12))

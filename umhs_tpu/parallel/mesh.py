@@ -73,9 +73,12 @@ def make_grad_fn(
     decorrelated by folding in the axis index.
     """
     n_dev = int(mesh.devices.size) if mesh is not None else 1
-    local_budget = (
-        max(256, compact_budget // n_dev) if compact_budget is not None else None
-    )
+    if compact_budget is None:
+        local_budget = None
+    elif isinstance(compact_budget, (tuple, list)):
+        local_budget = tuple(max(256, int(b) // n_dev) for b in compact_budget)
+    else:
+        local_budget = max(256, compact_budget // n_dev)
 
     def compute(params, occ, rays, batch, k_march, k_bg, step):
         def loss_fn(p):
@@ -107,9 +110,15 @@ def make_grad_fn(
         total = jax.lax.pmean(total, axis_name)
         loss_dict = jax.lax.pmean(loss_dict, axis_name)
         grads = jax.lax.pmean(grads, axis_name)
-        nspb = metrics.pop("num_samples_per_batch")
+        # per-batch COUNTS sum across shards; everything else is a mean
+        counts = {
+            k: metrics.pop(k)
+            for k in list(metrics)
+            if k.endswith("_per_batch")
+        }
         metrics = jax.lax.pmean(metrics, axis_name)
-        metrics["num_samples_per_batch"] = jax.lax.psum(nspb, axis_name)
+        for k, v in counts.items():
+            metrics[k] = jax.lax.psum(v, axis_name)
         return total, loss_dict, metrics, grads
 
     # check_vma=False: with the varying-manual-axes rewrite ON, autodiff
