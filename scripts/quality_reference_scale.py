@@ -76,6 +76,11 @@ def main():
             mixed_precision=True,
             use_mesh=True,
             experiment_name="quality-ref-scale",
+            # reference training envelope: 4096 rays/batch (scripts/hotdog.sh).
+            # target_num_samples is set so the dynamic batcher keeps R at
+            # ~4096 once the grid converges (mean eval samples/ray ~6),
+            # adapting only the compact budgets and S to the occupancy.
+            target_num_samples=24576,
             optimizer=OptimizerConfig(
                 lr=2e-2, eps=1e-15, lr_final=1e-5, max_steps=args.steps
             ),
