@@ -194,7 +194,7 @@ def query_occupancy(
 def _eval_occ(
     density_fn: Callable[[jnp.ndarray], jnp.ndarray],
     positions: jnp.ndarray,
-    chunk: int = 1 << 19,
+    chunk: int = 1 << 20,
 ) -> jnp.ndarray:
     """Chunked density evaluation over (N, 3) positions -> (N,)."""
     n = positions.shape[0]
