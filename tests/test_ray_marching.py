@@ -288,3 +288,29 @@ class TestEarlyStopOD:
         b = march_rays(state["binaries"], occ, march, o, d,
                        occs=jnp.zeros_like(state["occs"]))  # zero od
         assert int(a["num_samples"][0]) == int(b["num_samples"][0])
+
+
+def test_row_table_march_matches_bitfield():
+    """occ_rows / pooled_rows (8-byte row gathers) must march identically
+    to the bool bitfields."""
+    cfg = OccGridConfig(resolution=16, levels=2, pool=4)
+    s = init_occ_state(cfg)
+
+    def dens(p):
+        return jnp.where(jnp.linalg.norm(p, axis=-1) < 0.5, 50.0, 0.0)
+
+    s = update_occ_state(s, cfg, dens, 0.02, jax.random.PRNGKey(0), full=True)
+    o = jnp.array([[-3.0, 0.05, 0.0], [-3.0, 0.9, 0.2]])
+    d = jnp.array([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    march = MarchConfig(num_candidates=256, num_samples=32,
+                        render_step_size=0.02, cone_angle=0.0,
+                        near_plane=0.05, far_plane=100.0, pool=4)
+    a = march_rays(s["binaries"], cfg, march, o, d,
+                   binaries_pooled=s["binaries_pooled"])
+    b = march_rays(s["binaries"], cfg, march, o, d,
+                   binaries_pooled=s["binaries_pooled"],
+                   occ_rows=s["occ_rows"], pooled_rows=s["pooled_rows"])
+    np.testing.assert_array_equal(np.asarray(a["mask"]), np.asarray(b["mask"]))
+    np.testing.assert_allclose(
+        np.asarray(a["t_starts"]), np.asarray(b["t_starts"]), atol=1e-7
+    )

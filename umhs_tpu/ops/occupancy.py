@@ -101,13 +101,15 @@ def init_occ_state(config: OccGridConfig):
         # objects — exactly where termination is valid.
         "occs_low": jnp.zeros((n,), dtype=jnp.float32),
         "binaries": jnp.zeros((n,), dtype=jnp.bool_),
+        # [occupancy 0/1, lower-envelope density] row table for the march's
+        # hot queries (8-byte row gathers are ~1.8x cheaper than width-1)
+        "occ_rows": jnp.zeros((n, 2), dtype=jnp.float32),
     }
     if config.pool > 1:
         assert config.resolution % config.pool == 0
-        state["binaries_pooled"] = jnp.zeros(
-            (config.levels * (config.resolution // config.pool) ** 3,),
-            dtype=jnp.bool_,
-        )
+        np_ = config.levels * (config.resolution // config.pool) ** 3
+        state["binaries_pooled"] = jnp.zeros((np_,), dtype=jnp.bool_)
+        state["pooled_rows"] = jnp.zeros((np_, 2), dtype=jnp.float32)
     return state
 
 
@@ -176,7 +178,15 @@ def query_grid_values(
     # gather operand slows the gather op itself on TPU (see
     # ops/encodings._hash_encode_impl; measured ~1.5x there)
     flat = jax.lax.optimization_barrier(flat)
-    vals = jnp.take(grid, flat.reshape(-1), axis=0).reshape(flat.shape)
+    if grid.ndim == 2:
+        # row-table variant: width-1 gathers cost 8.2 ns/row on TPU vs
+        # 4.3-5.3 ns for 8-byte rows, so hot queries pack the per-cell
+        # values as (T, 2) f32 rows (see occ_rows below)
+        vals = jnp.take(grid, flat.reshape(-1), axis=0, mode="clip").reshape(
+            *flat.shape, grid.shape[1]
+        )
+    else:
+        vals = jnp.take(grid, flat.reshape(-1), axis=0).reshape(flat.shape)
     return vals, inside
 
 
@@ -292,8 +302,17 @@ def update_occ_state(
     thre = jnp.minimum(jnp.mean(occs), config.occ_thre)
     binaries = occs > thre
     out = {"occs": occs, "occs_low": occs_low, "binaries": binaries}
+    # hot-query row table: [occupancy as 0/1, lower-envelope density] per
+    # cell — the march gathers ONE 8-byte row instead of a width-1 byte
+    # (1.8x cheaper per row), and gets the od-culling value for free
+    out["occ_rows"] = jnp.stack(
+        [binaries.astype(jnp.float32), occs_low], axis=-1
+    )
     if config.pool > 1:
-        out["binaries_pooled"] = _pool_binaries(binaries, config)
+        pooled = _pool_binaries(binaries, config)
+        out["binaries_pooled"] = pooled
+        pf = pooled.astype(jnp.float32)
+        out["pooled_rows"] = jnp.stack([pf, pf], axis=-1)
     return out
 
 
@@ -313,6 +332,12 @@ def mark_all_occupied(state):
     }
     if "occs_low" in state:
         out["occs_low"] = state["occs_low"]
+    if "occ_rows" in state:
+        out["occ_rows"] = jnp.stack(
+            [jnp.ones_like(state["occs"]), state["occs_low"]], axis=-1
+        )
     if "binaries_pooled" in state:
         out["binaries_pooled"] = jnp.ones_like(state["binaries_pooled"])
+    if "pooled_rows" in state:
+        out["pooled_rows"] = jnp.ones_like(state["pooled_rows"])
     return out

@@ -218,6 +218,8 @@ def march_rays(
     binaries_pooled: Optional[jnp.ndarray] = None,
     occs: Optional[jnp.ndarray] = None,
     early_stop_od_value: Optional[jnp.ndarray] = None,
+    occ_rows: Optional[jnp.ndarray] = None,
+    pooled_rows: Optional[jnp.ndarray] = None,
 ):
     """March rays through the occupancy grid.
 
@@ -239,6 +241,11 @@ def march_rays(
         early_stop_od_value: optional traced override of the od threshold
             (e.g. +inf during occupancy warmup, when the EMA estimate is
             not yet trustworthy).
+        occ_rows / pooled_rows: optional (T, 2) f32 row tables
+            [occupancy 0/1, lower-envelope density] for the fine / pooled
+            grids — 8-byte row gathers are ~1.8x cheaper than the width-1
+            byte gathers of the bool bitfields, and carry the od value for
+            free. Semantics identical to binaries/binaries_pooled.
 
     Returns:
         dict with t_starts, t_ends (R, S), mask (R, S) bool, and
@@ -278,9 +285,16 @@ def march_rays(
         in_rangeA = tsA < t_max[:, None]
         midsA = tsA + dtsA / 2.0
         posA = origins[:, None, :] + directions[:, None, :] * midsA[..., None]
-        occA = query_occupancy(
-            binaries_pooled, posA, occ_config, res=occ_config.resolution // p
-        ) & in_rangeA
+        res_p = occ_config.resolution // p
+        if pooled_rows is not None:
+            rowsA, insideA = query_grid_values(
+                pooled_rows, posA, occ_config, res=res_p
+            )
+            occA = (rowsA[..., 0] > 0.5) & insideA & in_rangeA
+        else:
+            occA = query_occupancy(
+                binaries_pooled, posA, occ_config, res=res_p
+            ) & in_rangeA
         tA, dtA, validA = _rank_select(occA, tsA, dtsA, march.supers)
         # subdivide each selected supercell run into p cell-sized intervals
         sub = jnp.arange(p, dtype=jnp.float32)[None, None, :]
@@ -300,15 +314,24 @@ def march_rays(
 
     mids = ts + dts / 2.0
     positions = origins[:, None, :] + directions[:, None, :] * mids[..., None]
-    occupied = query_occupancy(binaries, positions, occ_config) & in_range
+    row_vals = None
+    if occ_rows is not None:
+        rows, inside_f = query_grid_values(occ_rows, positions, occ_config)
+        occupied = (rows[..., 0] > 0.5) & inside_f & in_range
+        row_vals = rows[..., 1]
+    else:
+        occupied = query_occupancy(binaries, positions, occ_config) & in_range
 
-    if march.early_stop_od > 0.0 and occs is not None:
+    if march.early_stop_od > 0.0 and (occs is not None or row_vals is not None):
         # approximate optical depth from the EMA grid (occs stores
         # density * render_step_size per cell); everything behind an
         # opaque-enough prefix is dropped before the field ever sees it.
         # Candidates are time-ordered, so a plain exclusive cumsum is the
         # per-ray accumulated optical depth at each candidate's start.
-        vals, _ = query_grid_values(occs, positions, occ_config)
+        if row_vals is not None:
+            vals = row_vals
+        else:
+            vals, _ = query_grid_values(occs, positions, occ_config)
         contrib = jnp.where(occupied, vals, 0.0) * (
             dts / march.render_step_size
         )
