@@ -133,12 +133,39 @@ def candidate_ts(
     return ts, dts
 
 
+def _ts_at_index(
+    t0: jnp.ndarray, march: "MarchConfig", kidx: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Closed-form (t, dt) of candidate index kidx (R, S) — the same
+    formulas as candidate_ts, evaluated at arbitrary indices. Lets
+    rank-selection RECOMPUTE the selected candidates' t/dt on the VPU
+    instead of gathering them (take_along_axis costs ~8 ns/element; the
+    recompute is ~free and bit-identical)."""
+    dt0 = march.render_step_size
+    cone = march.cone_angle
+    kf = kidx.astype(jnp.float32)
+    t0c = t0[:, None]
+    if cone <= 0.0:
+        ts = t0c + kf * dt0
+        return ts, jnp.full_like(ts, dt0)
+    t_crit = dt0 / cone
+    k_crit = jnp.ceil(jnp.maximum(t_crit - t0c, 0.0) / dt0)
+    t_lin = t0c + kf * dt0
+    t_at_crit = t0c + k_crit * dt0
+    growth = jnp.log1p(cone)
+    t_exp = t_at_crit * jnp.exp((kf - k_crit) * growth)
+    ts = jnp.where(kf < k_crit, t_lin, t_exp)
+    dts = jnp.maximum(ts * cone, dt0)
+    return ts, dts
+
+
 def _rank_select(
     occupied: jnp.ndarray,
     ts: jnp.ndarray,
     dts: jnp.ndarray,
     S: int,
     total_budget: Optional[int] = None,
+    schedule: Optional[Tuple[jnp.ndarray, "MarchConfig"]] = None,
 ):
     """Budgeted compaction of occupied candidates to S slots per ray.
 
@@ -200,8 +227,15 @@ def _rank_select(
         count.astype(jnp.float32) / jnp.maximum(budget, 1).astype(jnp.float32), 1.0
     )  # (R, 1)
 
-    t_starts = jnp.take_along_axis(ts, idx, axis=1)
-    dt_sel = jnp.take_along_axis(dts, idx, axis=1) * dt_scale
+    if schedule is not None:
+        # candidates follow a closed-form schedule: recompute (t, dt) at
+        # the selected indices instead of gathering (bit-identical math)
+        t0_sched, march_sched = schedule
+        t_starts, dt_sel = _ts_at_index(t0_sched, march_sched, idx)
+        dt_sel = dt_sel * dt_scale
+    else:
+        t_starts = jnp.take_along_axis(ts, idx, axis=1)
+        dt_sel = jnp.take_along_axis(dts, idx, axis=1) * dt_scale
     t_starts = jnp.where(valid, t_starts, 0.0)
     dt_sel = jnp.where(valid, dt_sel, 0.0)
     return t_starts, dt_sel, valid
@@ -295,13 +329,16 @@ def march_rays(
             occA = query_occupancy(
                 binaries_pooled, posA, occ_config, res=res_p
             ) & in_rangeA
-        tA, dtA, validA = _rank_select(occA, tsA, dtsA, march.supers)
+        tA, dtA, validA = _rank_select(
+            occA, tsA, dtsA, march.supers, schedule=(t0, superA)
+        )
         # subdivide each selected supercell run into p cell-sized intervals
         sub = jnp.arange(p, dtype=jnp.float32)[None, None, :]
         dt_cell = (dtA / p)[:, :, None]  # (R, SA, 1)
         ts = (tA[:, :, None] + sub * dt_cell).reshape(R, -1)
         dts = jnp.broadcast_to(dt_cell, (*dtA.shape, p)).reshape(R, -1)
         in_range = jnp.repeat(validA, p, axis=1)
+        fine_schedule = None  # subdivided ts are not a closed-form schedule
     else:
         coarse = dataclasses.replace(
             march,
@@ -311,6 +348,7 @@ def march_rays(
         )
         ts, dts = candidate_ts(t0, coarse)  # (R, Mc)
         in_range = ts < t_max[:, None]
+        fine_schedule = (t0, coarse)
 
     mids = ts + dts / 2.0
     positions = origins[:, None, :] + directions[:, None, :] * mids[..., None]
@@ -346,6 +384,7 @@ def march_rays(
     t_starts, dt_sel, valid = _rank_select(
         occupied, ts, dts, march.coarse_samples,
         total_budget // k if total_budget is not None else None,
+        schedule=fine_schedule,
     )
 
     if k > 1:
