@@ -309,7 +309,8 @@ def test_row_table_march_matches_bitfield():
                    binaries_pooled=s["binaries_pooled"])
     b = march_rays(s["binaries"], cfg, march, o, d,
                    binaries_pooled=s["binaries_pooled"],
-                   occ_rows=s["occ_rows"], pooled_rows=s["pooled_rows"])
+                   occ_rows=s["occ_rows"].reshape(-1, 2),
+                   pooled_rows=s["pooled_rows"].reshape(-1, 2))
     np.testing.assert_array_equal(np.asarray(a["mask"]), np.asarray(b["mask"]))
     np.testing.assert_allclose(
         np.asarray(a["t_starts"]), np.asarray(b["t_starts"]), atol=1e-7

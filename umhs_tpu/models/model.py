@@ -338,8 +338,16 @@ class UMHSModel:
             # checkpoints -> culling off
             occs=occ_state.get("occs_low"),
             early_stop_od_value=od_val,
-            occ_rows=occ_state.get("occ_rows"),
-            pooled_rows=occ_state.get("pooled_rows"),
+            occ_rows=(
+                occ_state["occ_rows"].reshape(-1, 2)
+                if "occ_rows" in occ_state
+                else None
+            ),
+            pooled_rows=(
+                occ_state["pooled_rows"].reshape(-1, 2)
+                if "pooled_rows" in occ_state
+                else None
+            ),
         )
         t_starts, t_ends, mask = march["t_starts"], march["t_ends"], march["mask"]
         d_unit = d / jnp.linalg.norm(d, axis=-1, keepdims=True)

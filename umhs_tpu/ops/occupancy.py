@@ -102,14 +102,17 @@ def init_occ_state(config: OccGridConfig):
         "occs_low": jnp.zeros((n,), dtype=jnp.float32),
         "binaries": jnp.zeros((n,), dtype=jnp.bool_),
         # [occupancy 0/1, lower-envelope density] row table for the march's
-        # hot queries (8-byte row gathers are ~1.8x cheaper than width-1)
-        "occ_rows": jnp.zeros((n, 2), dtype=jnp.float32),
+        # hot queries (8-byte row gathers are ~1.8x cheaper than width-1).
+        # Stored FLAT: a (T, 2) array in a scan/fori carry gets tile-padded
+        # to 128 lanes (gigabytes of copies — the same landmine as the hash
+        # table); consumers reshape(-1, 2) at the gather, which XLA fuses.
+        "occ_rows": jnp.zeros((n * 2,), dtype=jnp.float32),
     }
     if config.pool > 1:
         assert config.resolution % config.pool == 0
         np_ = config.levels * (config.resolution // config.pool) ** 3
         state["binaries_pooled"] = jnp.zeros((np_,), dtype=jnp.bool_)
-        state["pooled_rows"] = jnp.zeros((np_, 2), dtype=jnp.float32)
+        state["pooled_rows"] = jnp.zeros((np_ * 2,), dtype=jnp.float32)
     return state
 
 
@@ -307,12 +310,12 @@ def update_occ_state(
     # (1.8x cheaper per row), and gets the od-culling value for free
     out["occ_rows"] = jnp.stack(
         [binaries.astype(jnp.float32), occs_low], axis=-1
-    )
+    ).reshape(-1)  # FLAT in state: 2-wide carries tile-pad (see init)
     if config.pool > 1:
         pooled = _pool_binaries(binaries, config)
         out["binaries_pooled"] = pooled
         pf = pooled.astype(jnp.float32)
-        out["pooled_rows"] = jnp.stack([pf, pf], axis=-1)
+        out["pooled_rows"] = jnp.stack([pf, pf], axis=-1).reshape(-1)
     return out
 
 
@@ -335,7 +338,7 @@ def mark_all_occupied(state):
     if "occ_rows" in state:
         out["occ_rows"] = jnp.stack(
             [jnp.ones_like(state["occs"]), state["occs_low"]], axis=-1
-        )
+        ).reshape(-1)
     if "binaries_pooled" in state:
         out["binaries_pooled"] = jnp.ones_like(state["binaries_pooled"])
     if "pooled_rows" in state:
