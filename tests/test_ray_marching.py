@@ -315,3 +315,66 @@ def test_row_table_march_matches_bitfield():
     np.testing.assert_allclose(
         np.asarray(a["t_starts"]), np.asarray(b["t_starts"]), atol=1e-7
     )
+
+
+def test_packed_words_march_matches_bitfield():
+    """packed 4^3-supercell bit-words must march BIT-IDENTICALLY to the
+    bool bitfield / row-table paths (same occupancy, same selection)."""
+    cfg = OccGridConfig(resolution=16, levels=2, pool=4)
+    s = init_occ_state(cfg)
+
+    def dens(p):
+        return jnp.where(jnp.linalg.norm(p - 0.21, axis=-1) < 0.45, 80.0, 0.0)
+
+    s = update_occ_state(s, cfg, dens, 0.02, jax.random.PRNGKey(3), full=True)
+    assert "packed_words" in s
+    o = jnp.array([[-3.0, 0.05, 0.0], [-3.0, 0.9, 0.2], [-3.0, 0.2, 0.21]])
+    d = jnp.array([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0], [1.0, 0.05, 0.02]])
+    for pool in (0, 4):
+        march = MarchConfig(num_candidates=256, num_samples=32,
+                            render_step_size=0.02, cone_angle=0.004,
+                            near_plane=0.05, far_plane=100.0, pool=pool,
+                            occ_subsamples=2)
+        kw = dict(binaries_pooled=s["binaries_pooled"]) if pool else {}
+        a = march_rays(s["binaries"], cfg, march, o, d, **kw)
+        b = march_rays(s["binaries"], cfg, march, o, d,
+                       packed_words=s["packed_words"], **kw)
+        np.testing.assert_array_equal(
+            np.asarray(a["mask"]), np.asarray(b["mask"]), err_msg=f"pool={pool}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(a["t_starts"]), np.asarray(b["t_starts"]), atol=1e-7
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a["num_occupied"]), np.asarray(b["num_occupied"])
+        )
+
+
+def test_packed_query_matches_binaries():
+    """query_packed_occupancy / query_packed_supercell vs direct queries on
+    random positions across all cascade levels."""
+    from umhs_tpu.ops.occupancy import (
+        query_occupancy,
+        query_packed_occupancy,
+        query_packed_supercell,
+    )
+
+    cfg = OccGridConfig(resolution=16, levels=3, pool=4)
+    s = init_occ_state(cfg)
+    key = jax.random.PRNGKey(7)
+    # random binary grid (exercise every bit position)
+    bins = jax.random.bernoulli(key, 0.3, s["binaries"].shape)
+    s = dict(s, binaries=bins)
+    from umhs_tpu.ops.occupancy import _pack_supercell_words, _pool_binaries
+
+    packed = _pack_supercell_words(bins, cfg)
+    pooled = _pool_binaries(bins, cfg)
+    pos = jax.random.uniform(
+        jax.random.PRNGKey(8), (4096, 3), minval=-4.2, maxval=4.2
+    )
+    got = query_packed_occupancy(packed, pos, cfg)
+    want = query_occupancy(bins, pos, cfg)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    got_s = query_packed_supercell(packed, pos, cfg)
+    want_s = query_occupancy(pooled, pos, cfg, res=cfg.resolution // 4)
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(want_s))

@@ -85,6 +85,42 @@ def _pool_binaries(binaries: jnp.ndarray, config: OccGridConfig) -> jnp.ndarray:
     return jnp.any(b, axis=(2, 4, 6)).reshape(-1)
 
 
+def _pack_supercell_words(binaries: jnp.ndarray, config: OccGridConfig) -> jnp.ndarray:
+    """Pack each 4^3-cell supercell's occupancy into one 64-bit word,
+    stored as a flat (L * (r/4)^3 * 2,) uint32 array ([lo, hi] halves).
+
+    Bit b = sx + 4*sy + 16*sz for cell (sx, sy, sz) inside the supercell
+    (same x-minor order as the flat cell index). The march's hot fine-stage
+    occupancy query gathers ONE 8-byte row per candidate from this ~1 MB
+    table (small-table gather fast path, ~30% cheaper per row than the
+    67 MB full-resolution row table — docs/PERFORMANCE.md cost model) and
+    tests the bit on the VPU; results are bit-identical to querying
+    `binaries` directly.
+    """
+    r, L = config.resolution, config.levels
+    r4 = r // 4
+    # NOTE on form: the obvious 7-D transpose
+    # (L,Z,sz,Y,sy,X,sx) -> (L,Z,Y,X,sz,sy,sx) + bit-matmul compiles
+    # catastrophically on TPU (measured +350 s of XLA backend compile for
+    # the enclosing occupancy update — it dominated the whole train-loop
+    # compile budget). 64 strided slices + shifted ORs produce the same
+    # words with trivial compile cost and negligible runtime.
+    b = binaries.reshape(L, r4, 4, r4, 4, r4, 4)  # (L, Z, sz, Y, sy, X, sx)
+    lo = jnp.zeros((L, r4, r4, r4), dtype=jnp.uint32)
+    hi = jnp.zeros((L, r4, r4, r4), dtype=jnp.uint32)
+    for sz in range(4):
+        for sy in range(4):
+            for sx in range(4):
+                bit = sx + 4 * sy + 16 * sz  # x-minor, same as cell index
+                v = b[:, :, sz, :, sy, :, sx].astype(jnp.uint32) << (bit & 31)
+                if bit < 32:
+                    lo = lo | v
+                else:
+                    hi = hi | v
+    words = jnp.stack([lo, hi], axis=-1)  # (L, Z, Y, X, 2)
+    return words.reshape(-1)  # FLAT: 2-wide carries tile-pad (see init)
+
+
 def init_occ_state(config: OccGridConfig):
     n = config.levels * config.cells_per_level
     state = {
@@ -113,6 +149,9 @@ def init_occ_state(config: OccGridConfig):
         np_ = config.levels * (config.resolution // config.pool) ** 3
         state["binaries_pooled"] = jnp.zeros((np_,), dtype=jnp.bool_)
         state["pooled_rows"] = jnp.zeros((np_ * 2,), dtype=jnp.float32)
+    if config.resolution % 4 == 0:
+        ns = config.levels * (config.resolution // 4) ** 3
+        state["packed_words"] = jnp.zeros((ns * 2,), dtype=jnp.uint32)
     return state
 
 
@@ -204,13 +243,90 @@ def query_occupancy(
     return occ & inside
 
 
+def _packed_cell_index(positions: jnp.ndarray, config: OccGridConfig):
+    """(flat supercell row index, bit index 0..63, inside) of world positions
+    at CELL resolution — the packed-word analogue of query_grid_values'
+    index math (identical level selection / clipping)."""
+    center = jnp.asarray(config.center)
+    half = jnp.asarray(config.half_extent)
+    rel = (positions - center) / half
+    maxc = jnp.max(jnp.abs(rel), axis=-1)
+    lvl = jnp.ceil(jnp.log2(jnp.maximum(maxc, 1e-12)))
+    lvl = jnp.clip(lvl, 0, config.levels - 1).astype(jnp.int32)
+    inside = maxc <= config.max_scale
+
+    scale = jnp.exp2(lvl.astype(jnp.float32))[..., None]
+    unit = (rel / scale + 1.0) / 2.0
+    res = config.resolution
+    r4 = res // 4
+    ijk = jnp.clip(jnp.floor(unit * res).astype(jnp.int32), 0, res - 1)
+    sc = ijk >> 2  # supercell coords
+    sub = ijk & 3  # cell-within-supercell coords
+    flat = (
+        lvl * (r4**3)
+        + sc[..., 0]
+        + sc[..., 1] * r4
+        + sc[..., 2] * r4 * r4
+    )
+    bit = sub[..., 0] + (sub[..., 1] << 2) + (sub[..., 2] << 4)
+    return flat, bit, inside
+
+
+def query_packed_occupancy(
+    packed_words: jnp.ndarray,
+    positions: jnp.ndarray,
+    config: OccGridConfig,
+) -> jnp.ndarray:
+    """Cell occupancy of world positions from the packed supercell words —
+    bit-identical to query_occupancy(binaries, ...) (tested), one 8-byte
+    gather from a ~1 MB table instead of a row from the 67 MB cell table."""
+    flat, bit, inside = _packed_cell_index(positions, config)
+    flat = jax.lax.optimization_barrier(flat)  # see query_grid_values
+    rows = jnp.take(
+        packed_words.reshape(-1, 2), flat.reshape(-1), axis=0, mode="clip"
+    ).reshape(*flat.shape, 2)
+    word = jnp.where(bit < 32, rows[..., 0], rows[..., 1])
+    b = (bit & 31).astype(jnp.uint32)
+    return (((word >> b) & jnp.uint32(1)) == 1) & inside
+
+
+def query_packed_supercell(
+    packed_words: jnp.ndarray,
+    positions: jnp.ndarray,
+    config: OccGridConfig,
+) -> jnp.ndarray:
+    """SUPERCELL occupancy (any of its 4^3 cells occupied) of world
+    positions — the pooled pre-pass query, from the same packed table
+    (equivalent to query_occupancy(binaries_pooled, ..., res=r/4))."""
+    flat, _, inside = _packed_cell_index(positions, config)
+    flat = jax.lax.optimization_barrier(flat)
+    rows = jnp.take(
+        packed_words.reshape(-1, 2), flat.reshape(-1), axis=0, mode="clip"
+    ).reshape(*flat.shape, 2)
+    return ((rows[..., 0] | rows[..., 1]) != 0) & inside
+
+
 def _eval_occ(
     density_fn: Callable[[jnp.ndarray], jnp.ndarray],
     positions: jnp.ndarray,
     chunk: int = 1 << 20,
 ) -> jnp.ndarray:
-    """Chunked density evaluation over (N, 3) positions -> (N,)."""
+    """Chunked density evaluation over (N, 3) positions -> (N,).
+
+    Partial updates (<= one chunk of probes) evaluate in a single direct
+    call — the lax.map+pad detour measured ~55 ms of pure overhead per
+    update at 917k probes (docs/PERFORMANCE.md). The chunked path remains
+    for full (warmup) updates, whose 8.4M probes would otherwise material-
+    ise multi-GB (N, lanes) hash-encode intermediates.
+    """
     n = positions.shape[0]
+    if n <= chunk:
+        pad = (-n) % 1024  # lane/tile alignment only
+        if pad:
+            positions = jnp.concatenate(
+                [positions, jnp.zeros((pad, 3), positions.dtype)], axis=0
+            )
+        return density_fn(positions)[:n]
     chunk = min(chunk, max(1, 1 << (n - 1).bit_length()))
     pad = (-n) % chunk
     padded = jnp.concatenate([positions, jnp.zeros((pad, 3), positions.dtype)], axis=0)
@@ -258,11 +374,20 @@ def update_occ_state(
             m_uni = m - m_occ
             k_cells, k_uni, k_fall, k_rank = jax.random.split(k_cells, 4)
             uni = jax.random.randint(k_uni, (m_uni,), 0, res3, dtype=jnp.int32)
+            # STRATIFIED occupied ranks (sorted by construction): uniform
+            # marginally over occupied cells like nerfacc's draw, lower
+            # variance, and sorted queries let searchsorted use the
+            # sort-merge method — one ~5 ms argsort instead of log2(res^3)
+            # rounds of take_along_axis gathers (~45 ms at 262k queries,
+            # the dominant cell-selection cost; docs/PERFORMANCE.md).
             u = jax.random.uniform(k_rank, (m_occ,))
-            rank = jnp.floor(u * count[lvl_i].astype(jnp.float32)).astype(jnp.int32)
-            occ_idx = jnp.searchsorted(cum[lvl_i], rank, side="right").astype(
+            strat = (jnp.arange(m_occ, dtype=jnp.float32) + u) / m_occ
+            rank = jnp.floor(strat * count[lvl_i].astype(jnp.float32)).astype(
                 jnp.int32
             )
+            occ_idx = jnp.searchsorted(
+                cum[lvl_i], rank, side="right", method="sort"
+            ).astype(jnp.int32)
             fallback = jax.random.randint(k_fall, (m_occ,), 0, res3, dtype=jnp.int32)
             occ_idx = jnp.where(
                 count[lvl_i] > 0, jnp.minimum(occ_idx, res3 - 1), fallback
@@ -316,6 +441,8 @@ def update_occ_state(
         out["binaries_pooled"] = pooled
         pf = pooled.astype(jnp.float32)
         out["pooled_rows"] = jnp.stack([pf, pf], axis=-1).reshape(-1)
+    if config.resolution % 4 == 0:
+        out["packed_words"] = _pack_supercell_words(binaries, config)
     return out
 
 
@@ -343,4 +470,8 @@ def mark_all_occupied(state):
         out["binaries_pooled"] = jnp.ones_like(state["binaries_pooled"])
     if "pooled_rows" in state:
         out["pooled_rows"] = jnp.ones_like(state["pooled_rows"])
+    if "packed_words" in state:
+        out["packed_words"] = jnp.full_like(
+            state["packed_words"], jnp.uint32(0xFFFFFFFF)
+        )
     return out

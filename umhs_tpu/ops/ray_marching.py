@@ -32,7 +32,13 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .occupancy import OccGridConfig, query_grid_values, query_occupancy
+from .occupancy import (
+    OccGridConfig,
+    query_grid_values,
+    query_occupancy,
+    query_packed_occupancy,
+    query_packed_supercell,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -254,6 +260,7 @@ def march_rays(
     early_stop_od_value: Optional[jnp.ndarray] = None,
     occ_rows: Optional[jnp.ndarray] = None,
     pooled_rows: Optional[jnp.ndarray] = None,
+    packed_words: Optional[jnp.ndarray] = None,
 ):
     """March rays through the occupancy grid.
 
@@ -280,6 +287,12 @@ def march_rays(
             grids — 8-byte row gathers are ~1.8x cheaper than the width-1
             byte gathers of the bool bitfields, and carry the od value for
             free. Semantics identical to binaries/binaries_pooled.
+        packed_words: optional flat (T/64 * 2,) uint32 packed 4^3-supercell
+            occupancy words (ops/occupancy._pack_supercell_words). When
+            given and od-culling is off, BOTH the pooled pre-pass and the
+            fine query gather from this ~1 MB table (small-table gather
+            fast path) with bit-identical results; occ_rows/pooled_rows
+            are then unused.
 
     Returns:
         dict with t_starts, t_ends (R, S), mask (R, S) bool, and
@@ -320,7 +333,12 @@ def march_rays(
         midsA = tsA + dtsA / 2.0
         posA = origins[:, None, :] + directions[:, None, :] * midsA[..., None]
         res_p = occ_config.resolution // p
-        if pooled_rows is not None:
+        use_packed = packed_words is not None and march.early_stop_od <= 0.0
+        if use_packed and p == 4:
+            occA = query_packed_supercell(
+                packed_words, posA, occ_config
+            ) & in_rangeA
+        elif pooled_rows is not None:
             rowsA, insideA = query_grid_values(
                 pooled_rows, posA, occ_config, res=res_p
             )
@@ -353,7 +371,13 @@ def march_rays(
     mids = ts + dts / 2.0
     positions = origins[:, None, :] + directions[:, None, :] * mids[..., None]
     row_vals = None
-    if occ_rows is not None:
+    if packed_words is not None and march.early_stop_od <= 0.0:
+        # packed supercell words: 8-byte rows from a ~1 MB table (small-
+        # table fast path) + VPU bit test; bit-identical to the row table
+        occupied = query_packed_occupancy(
+            packed_words, positions, occ_config
+        ) & in_range
+    elif occ_rows is not None:
         rows, inside_f = query_grid_values(occ_rows, positions, occ_config)
         occupied = (rows[..., 0] > 0.5) & inside_f & in_range
         row_vals = rows[..., 1]
