@@ -112,6 +112,7 @@ _IGNORED = {
     "viewer.num_rays_per_chunk",
     "pipeline.model.implementation",
     "pipeline.datamanager.images_on_gpu",
+    "pipeline.datamanager.images_on_device",  # retired: always on-device
     "logging.local_writer.enable",
 }
 
@@ -247,8 +248,13 @@ def _from_plain(obj):
             if not _DATACLASSES:
                 _register_all()
             cls = _DATACLASSES[obj["__dataclass__"]]
+            known = {f.name for f in dataclasses.fields(cls)}
+            # tolerate fields that existed when the yml was written but have
+            # since been retired (e.g. images_on_device)
             kwargs = {
-                k: _from_plain(v) for k, v in obj.items() if k != "__dataclass__"
+                k: _from_plain(v)
+                for k, v in obj.items()
+                if k != "__dataclass__" and k in known
             }
             # tuple-typed fields round-trip as lists
             for f in dataclasses.fields(cls):

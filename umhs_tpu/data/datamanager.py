@@ -30,7 +30,11 @@ class DataManagerConfig:
     train_num_rays_per_batch: int = 9216 * 4
     eval_num_rays_per_batch: int = 4096
     patch_size: int = 1
-    images_on_device: bool = True
+    # NOTE: there is deliberately no images_on_device flag — the TPU design
+    # always stages the split in device HBM (sampling is fused into the jit
+    # train step); hs_dtype=bfloat16 is the memory lever for 141-band cubes.
+    # The reference's --pipeline.datamanager.images-on-gpu spelling is
+    # accepted-and-inert (configs._IGNORED).
     hs_dtype: str = "float32"  # bfloat16 to halve HBM for 141-band scenes
 
 

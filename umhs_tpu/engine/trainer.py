@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math
 import os
 import time
 from pathlib import Path
@@ -31,7 +32,13 @@ import optax
 
 from ..data.datamanager import DataManagerConfig, UMHSDataManager, sample_pixel_batch
 from ..models.model import ModelConfig, UMHSModel
-from ..parallel.mesh import make_grad_fn, make_mesh, put_replicated, shard_rays
+from ..parallel.mesh import (
+    make_eval_forward,
+    make_grad_fn,
+    make_mesh,
+    put_replicated,
+    shard_rays,
+)
 from ..utils import metrics as metrics_utils
 from ..utils.writer import Writer, make_writer
 
@@ -200,6 +207,7 @@ class Trainer:
 
         patch_size = self.datamanager.config.patch_size
         cam_type = self.datamanager.train_outputs.cameras.camera_type
+        log_gradients = self.config.log_gradients
         # gradient computation: shard-local under the mesh (marching,
         # compaction and field eval never reshard; only a grads pmean +
         # sample-count psum cross the ICI — see parallel/mesh.make_grad_fn)
@@ -228,6 +236,19 @@ class Trainer:
 
             metrics.update({f"loss/{k}": v for k, v in loss_dict.items()})
             metrics["loss/total"] = total
+            if log_gradients:
+                # reference scripts pass --log-gradients True everywhere
+                # (scripts/*.sh); nerfstudio logs per-group grad norms —
+                # here the global norm plus the two dominant groups
+                metrics["grad_norm/total"] = optax.global_norm(grads)
+                if "hash_table" in grads:
+                    metrics["grad_norm/hash_table"] = optax.global_norm(
+                        grads["hash_table"]
+                    )
+                if "endmembers" in grads:
+                    metrics["grad_norm/endmembers"] = optax.global_norm(
+                        grads["endmembers"]
+                    )
             new_state = {
                 "params": params,
                 "opt_state": opt_state,
@@ -249,21 +270,41 @@ class Trainer:
         device makes dispatch cost amortise to ~0. Metrics from the last
         step of the chunk are returned (matching the reference's
         steps_per_log-style sampling of train metrics).
+
+        The occupancy EMA update (BEFORE_TRAIN_ITERATION callback, nerfacc
+        update_every_n_steps — /root/reference/umhsnerf/umhs_model.py:549-554)
+        deliberately stays a SEPARATE jitted dispatch (_build_occ_update):
+        fusing it into this chunk was measured to blow up compilation
+        catastrophically (trace alone 60 s, backend compile >6 min for the
+        warmup full-update variant — the occ update's chunked density map
+        plus the 16-step scanned fwd+bwd in one XLA module). The separate fn
+        donates the occ buffers instead, which is the part of the fusion
+        that mattered for memory traffic.
         """
         step_fn = self._build_train_step(batch_size, march_cfg, compact_budget)
 
         def chunk(state, data, cam):
+            # ALL steps inside the scan; metrics of the last step are read
+            # from the stacked scan outputs (scalars — bytes). Unrolling the
+            # last step for its metrics instead would inline the whole
+            # fwd+bwd graph a SECOND time and double the XLA compile of the
+            # chunk (measured minutes at production shapes via the remote
+            # tunnel).
             def body(st, _):
                 st, metrics = step_fn(st, data, cam)
-                return st, None
+                return st, metrics
 
-            state, _ = jax.lax.scan(body, state, None, length=num_steps - 1)
-            state, metrics = step_fn(state, data, cam)
+            state, ms = jax.lax.scan(body, state, None, length=num_steps)
+            metrics = jax.tree.map(lambda x: x[-1], ms)
             return state, metrics
 
         return jax.jit(chunk, donate_argnums=(0,))
 
     def _build_occ_update(self):
+        """Separate jitted occupancy update; donates the occ-state buffers
+        (binaries + EMA grids + row/packed tables, ~110 MB at the reference
+        128^3 x 4 config) so the update writes in place instead of
+        allocating a second copy."""
         model = self.model
         base_key = jax.random.PRNGKey(self.config.seed + 2)
 
@@ -271,15 +312,16 @@ class Trainer:
             rng = jax.random.fold_in(base_key, step)
             return model.update_occupancy(occ, params, rng, full=full)
 
-        return jax.jit(update, static_argnames=("full",))
+        return jax.jit(update, static_argnames=("full",), donate_argnums=(0,))
 
     def _build_forward(self, train: bool = False):
-        model = self.model
+        """Inference forward, ray-sharded over the mesh (eval renders the
+        local shard per chip, like training; reference DP semantics,
+        ignore.py:109-111)."""
+        fwd = make_eval_forward(self.model, self.mesh)
 
         def forward(state, rays, rng):
-            return model.forward(
-                state["params"], state["occ"], rays, rng=rng, train=train
-            )
+            return fwd(state["params"], state["occ"], rays, rng)
 
         return jax.jit(forward, static_argnames=())
 
@@ -455,19 +497,18 @@ class Trainer:
         )
         new_r = int(cfg.target_num_samples / max(mean_eval, 1.0))
         # keep the ray batch divisible by the patch area (patch sampling
-        # emits whole patch_size^2 blocks) as well as 256-aligned
+        # emits whole patch_size^2 blocks) AND 256-aligned (shard/tile
+        # alignment): the lcm covers patch sizes whose square is not a
+        # power of two (e.g. 3 -> 9, 6 -> 36), where max(256, p2) produced
+        # batches that tripped sample_pixel_batch's divisibility assert
         p2 = max(self.datamanager.config.patch_size, 1) ** 2
-        align = max(256, p2)
-        new_r = max(align, min(1 << 17, (new_r // align) * align))
-        if (new_s, new_r) == (self._dyn_march.num_samples, self._dyn_rays):
-            return
-        scale_r = new_r / max(self._dyn_rays, 1)
-        print(
-            f"[trainer] dynamic batch: mean eval samples/ray {mean_eval:.1f} "
-            f"(marched {mean_spr:.1f}, p99 {p99:.0f}) -> "
-            f"rays {self._dyn_rays}->{new_r}, samples/ray "
-            f"{self._dyn_march.num_samples}->{new_s}"
+        align = math.lcm(256, p2)
+        new_r = max(align, min((1 << 17) // align * align, (new_r // align) * align))
+        shapes_unchanged = (new_s, new_r) == (
+            self._dyn_march.num_samples, self._dyn_rays
         )
+        scale_r = new_r / max(self._dyn_rays, 1)
+        old_budgets = (self._dyn_budget, self._dyn_budget2)
         self._dyn_rays = new_r
         self._dyn_march = dc.replace(self._dyn_march, num_samples=new_s)
         # compact stage budgets: ~1.3x the measured per-stage means (stage 2
@@ -500,6 +541,17 @@ class Trainer:
                 4096, int(1.3 * mean_spr * new_r) // 256 * 256
             )
             self._dyn_budget2 = None
+        # no-op only when BOTH the shapes and the budgets are unchanged:
+        # with rays pinned at the cap the budgets still drift and must be
+        # resized, else the periodic drift check re-fires forever
+        if shapes_unchanged and (self._dyn_budget, self._dyn_budget2) == old_budgets:
+            return
+        print(
+            f"[trainer] dynamic batch: mean eval samples/ray {mean_eval:.1f} "
+            f"(marched {mean_spr:.1f}, p99 {p99:.0f}) -> "
+            f"rays {new_r}, samples/ray {new_s}, "
+            f"budgets {self._dyn_budget}/{self._dyn_budget2}"
+        )
 
     # ------------------------------------------------------------------
     def eval_batch(self) -> Dict[str, float]:
@@ -558,14 +610,18 @@ class Trainer:
             self._render_fns = {}
         key_rf = (chunk, num_chunks)
         if key_rf not in self._render_fns:
-            model = self.model
+            # ray-sharded under the mesh when the chunk divides the mesh
+            # size (it is 256-aligned in production; odd viewer chunk sizes
+            # fall back to replicated rendering)
+            mesh = self.mesh
+            if mesh is not None and chunk % int(mesh.devices.size) != 0:
+                mesh = None
+            fwd = make_eval_forward(self.model, mesh)
 
             def render_all(state, chunks):
                 key = jax.random.PRNGKey(0)
                 return jax.lax.map(
-                    lambda sl: model.forward(
-                        state["params"], state["occ"], sl, rng=key, train=False
-                    ),
+                    lambda sl: fwd(state["params"], state["occ"], sl, key),
                     chunks,
                 )
 
@@ -602,7 +658,14 @@ class Trainer:
             )
             lp = metrics_utils.lpips(pred_rgb, gt_rgb)
             if lp is not None:
-                m["lpips"] = lp
+                # the plain "lpips" key is reserved for the calibrated
+                # (ImageNet-pretrained) metric; the zero-egress random-VGG
+                # fallback reports under a variant-scoped key so its values
+                # can never be mistaken for reference-comparable LPIPS
+                if metrics_utils.LPIPS_VARIANT == "vgg16_imagenet":
+                    m["lpips"] = lp
+                else:
+                    m["lpips_vgg16random"] = lp
             # segmentation PNG dump side-channel (reference writes seg_pred
             # images during eval, umhs_model.py:495-501) — opt-in directory
             # instead of the reference's hard-coded ./eval/ajar_final/.
