@@ -157,6 +157,17 @@ def init_field_params(
                 layer_width=256,
                 out_dim=cfg.dino_dim,
             )
+            # Learnable DINO-space cluster centres for the cluster loss
+            # (STEGO-style). The reference's ClusterLookup never defines its
+            # `self.clusters` attribute (clusterprobe.py:14-15 references a
+            # nonexistent tensor), so its dino cluster path would crash at
+            # umhs_model.py:321 — the commented experiments at
+            # umhs_model.py:215,218 (ClusterLookup(128, ...)) show the
+            # intent: dim-128 cluster centres, randn init.
+            params["dino_clusters"] = jax.random.normal(
+                jax.random.fold_in(keys[7], 1),
+                (cfg.num_classes, cfg.dino_dim),
+            )
     else:
         # rgb method: mlp_head maps (SH dir, geo feat, appearance) -> rgb
         params["mlp_head"] = init_mlp(

@@ -348,6 +348,7 @@ class UMHSModel:
                 if "pooled_rows" in occ_state
                 else None
             ),
+            packed_words=occ_state.get("packed_words"),
         )
         t_starts, t_ends, mask = march["t_starts"], march["t_ends"], march["mask"]
         d_unit = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
@@ -590,9 +591,13 @@ class UMHSModel:
 
             if cfg.pred_dino:
                 outputs["dino"] = accumulate_sg("dino")
+                # probe against the learnable DINO-space cluster centres
+                # (reference umhs_model.py:316-325; with the detached
+                # features and alpha=None one-hot probs, the cluster loss
+                # reduces to a spherical k-means update of the centres)
                 ip_d, probs_d = cluster_probe(
                     jax.lax.stop_gradient(outputs["dino"]),
-                    params["endmembers"],
+                    params["dino_clusters"],
                     alpha=None,
                 )
                 outputs["cluster_probs"] = probs_d
@@ -705,6 +710,18 @@ class UMHSModel:
                 labels.astype(jnp.float32) * acc_if[:, 0]
             )
             outputs["seg_pred"] = jax.lax.stop_gradient(label_to_rgb(labels) * acc_if)
+
+            if cfg.pred_dino:
+                outputs["dino"] = accumulate(
+                    jax.lax.stop_gradient(weights), heads["dino"]
+                )
+                ip_d, probs_d = cluster_probe(
+                    jax.lax.stop_gradient(outputs["dino"]),
+                    params["dino_clusters"],
+                    alpha=None,
+                )
+                outputs["cluster_probs"] = probs_d
+                outputs["inner_products"] = ip_d
 
         if train:
             # proposal supervision aux for the loss (s-space histograms)
