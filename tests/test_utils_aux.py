@@ -99,6 +99,52 @@ class TestPrep:
         spec_cube_to_rgb_png(cube, NESPOF_WAVELENGTHS, tmp_path / "x.png")
         assert (tmp_path / "x.png").exists()
 
+    def test_exr_roundtrip(self, tmp_path):
+        from umhs_tpu.data.prep import read_exr, write_exr_minimal
+
+        rng = np.random.default_rng(3)
+        img = rng.random((9, 13)).astype(np.float32)
+        write_exr_minimal(tmp_path / "f32.exr", img)
+        np.testing.assert_array_equal(read_exr(tmp_path / "f32.exr"), img)
+        # HALF pixels (NeSpoF EXRs are half-float)
+        write_exr_minimal(tmp_path / "f16.exr", img, half=True)
+        np.testing.assert_allclose(
+            read_exr(tmp_path / "f16.exr"), img, atol=1e-3
+        )
+
+    def test_convert_nespof_scene(self, tmp_path):
+        """End-to-end EXR->cube conversion on a generated NeSpoF-layout
+        fixture (reference: /root/reference/data/spec2rgb.py:141-162)."""
+        from umhs_tpu.data.prep import (
+            NESPOF_WAVELENGTHS,
+            convert_nespof_scene,
+            write_exr_minimal,
+        )
+
+        rng = np.random.default_rng(5)
+        h = w = 6
+        n_views = 2
+        truth = rng.random((n_views, h, w, len(NESPOF_WAVELENGTHS))).astype(
+            np.float32
+        ) * 1.2 - 0.1  # exercise the [0,1] clip
+        scene = tmp_path / "scene"
+        for b, wl in enumerate(NESPOF_WAVELENGTHS):
+            d = scene / "train" / str(wl)
+            d.mkdir(parents=True)
+            for k in range(n_views):
+                write_exr_minimal(d / f"frame_{k}_s0.exr", truth[k, :, :, b])
+
+        out = tmp_path / "out"
+        n = convert_nespof_scene(scene, out)
+        assert n == n_views
+        for k in range(n_views):
+            cube = np.load(out / "train" / f"r_{k}.npy")
+            assert cube.shape == (h, w, len(NESPOF_WAVELENGTHS))
+            np.testing.assert_allclose(
+                cube, np.clip(truth[k], 0.0, 1.0), atol=1e-6
+            )
+            assert (out / "train" / f"r_{k}.png").exists()
+
 
 class TestExplore:
     def test_cube_stats_and_band(self, tmp_path):

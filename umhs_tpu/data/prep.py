@@ -29,9 +29,144 @@ from ..ops.spec_to_rgb import build_spec_to_rgb_matrix, srgb_gamma_np
 
 NESPOF_WAVELENGTHS = list(range(450, 651, 10))  # 21 bands
 
+# ---------------------------------------------------------------------------
+# Minimal OpenEXR 2.0 scanline I/O (pure numpy).
+#
+# The NeSpoF captures the reference converts (/root/reference/data/
+# spec2rgb.py:141-150) are single-part uncompressed scanline EXRs; the
+# OpenEXR python bindings are a heavyweight native dependency that is not
+# always available, so `read_exr` falls back to this reader. Covers
+# compression=NONE, pixel types HALF (IEEE 754 half == np.float16) and
+# FLOAT, INCREASING_Y line order — the subset those files use.
+# ---------------------------------------------------------------------------
+
+_EXR_MAGIC = 20000630
+_EXR_PIXEL_DTYPES = {1: np.dtype("<f2"), 2: np.dtype("<f4")}  # HALF, FLOAT
+
+
+def _read_cstring(buf: bytes, pos: int):
+    end = buf.index(b"\x00", pos)
+    return buf[pos:end].decode("latin-1"), end + 1
+
+
+def read_exr_minimal(path: Path, channel: Optional[str] = None) -> np.ndarray:
+    """Read one channel of an uncompressed single-part scanline EXR."""
+    buf = Path(path).read_bytes()
+    magic, version = np.frombuffer(buf[:8], dtype="<i4")
+    assert magic == _EXR_MAGIC, f"{path}: not an EXR file"
+    assert version & 0x200 == 0, "multi-part EXRs unsupported"
+    pos = 8
+
+    channels: List[tuple] = []  # (name, dtype)
+    data_window = None
+    compression = None
+    while True:
+        if buf[pos] == 0:  # end of header
+            pos += 1
+            break
+        name, pos = _read_cstring(buf, pos)
+        atype, pos = _read_cstring(buf, pos)
+        size = int(np.frombuffer(buf[pos : pos + 4], "<i4")[0])
+        pos += 4
+        val = buf[pos : pos + size]
+        pos += size
+        if name == "channels":
+            cpos = 0
+            while val[cpos] != 0:
+                cname, cpos = _read_cstring(val, cpos)
+                ptype = int(np.frombuffer(val[cpos : cpos + 4], "<i4")[0])
+                cpos += 16  # type + pLinear/reserved + x/ySampling
+                assert ptype in _EXR_PIXEL_DTYPES, f"pixel type {ptype}"
+                channels.append((cname, _EXR_PIXEL_DTYPES[ptype]))
+        elif name == "dataWindow":
+            data_window = np.frombuffer(val, "<i4")
+        elif name == "compression":
+            compression = val[0]
+    assert compression == 0, "only compression=NONE supported by the fallback"
+    xmin, ymin, xmax, ymax = data_window
+    h, w = ymax - ymin + 1, xmax - xmin + 1
+
+    # channels are stored per scanline in ALPHABETICAL order
+    channels.sort(key=lambda c: c[0])
+    names = [c[0] for c in channels]
+    want = channel or ("R" if "R" in names else names[0])
+    assert want in names, f"channel {want!r} not in {names}"
+
+    pos += 8 * h  # skip the scanline offset table (blocks are contiguous)
+    out = np.empty((h, w), dtype=np.float32)
+    for row in range(h):
+        size = int(np.frombuffer(buf[pos + 4 : pos + 8], "<i4")[0])
+        dpos = pos + 8
+        for cname, dt in channels:
+            n = w * dt.itemsize
+            if cname == want:
+                out[row] = np.frombuffer(buf[dpos : dpos + n], dt).astype(
+                    np.float32
+                )
+            dpos += n
+        pos += 8 + size
+    return out
+
+
+def write_exr_minimal(
+    path: Path, image: np.ndarray, channel: str = "R", half: bool = False
+) -> None:
+    """Write a single-channel uncompressed scanline EXR (fixture/export
+    utility; round-trips with `read_exr_minimal` and with OpenEXR)."""
+    import struct
+
+    image = np.asarray(image, dtype=np.float32)
+    h, w = image.shape
+    dt = np.dtype("<f2") if half else np.dtype("<f4")
+
+    def attr(name: str, atype: str, data: bytes) -> bytes:
+        return (
+            name.encode() + b"\x00" + atype.encode() + b"\x00"
+            + struct.pack("<i", len(data)) + data
+        )
+
+    chlist = (
+        channel.encode() + b"\x00"
+        + struct.pack("<i", 1 if half else 2)  # HALF / FLOAT
+        + b"\x00\x00\x00\x00"  # pLinear + reserved
+        + struct.pack("<ii", 1, 1)  # x/ySampling
+        + b"\x00"
+    )
+    box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+    header = (
+        struct.pack("<ii", _EXR_MAGIC, 2)
+        + attr("channels", "chlist", chlist)
+        + attr("compression", "compression", b"\x00")
+        + attr("dataWindow", "box2i", box)
+        + attr("displayWindow", "box2i", box)
+        + attr("lineOrder", "lineOrder", b"\x00")
+        + attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+        + attr(
+            "screenWindowCenter", "v2f", struct.pack("<ff", 0.0, 0.0)
+        )
+        + attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+        + b"\x00"
+    )
+    row_bytes = w * dt.itemsize
+    table_start = len(header)
+    data_start = table_start + 8 * h
+    block_size = 8 + row_bytes
+    offsets = struct.pack(
+        "<%dQ" % h, *[data_start + r * block_size for r in range(h)]
+    )
+    blocks = b"".join(
+        struct.pack("<ii", r, row_bytes) + image[r].astype(dt).tobytes()
+        for r in range(h)
+    )
+    Path(path).write_bytes(header + offsets + blocks)
+
 
 def read_exr(path: Path) -> np.ndarray:
-    """Read a single-channel (or RGB) EXR as float array. Requires OpenEXR."""
+    """Read a single-channel (or RGB) EXR as float array.
+
+    Uses the OpenEXR bindings when importable, else the pure-numpy
+    uncompressed-scanline fallback above (reference reader:
+    /root/reference/data/spec2rgb.py:111-138)."""
     try:
         import OpenEXR  # noqa: F401
         import Imath
@@ -46,10 +181,7 @@ def read_exr(path: Path) -> np.ndarray:
         data = np.frombuffer(f.channel(chan, pt), dtype=np.float32)
         return data.reshape(h, w)
     except ImportError:
-        import imageio.v2 as imageio
-
-        img = np.asarray(imageio.imread(str(path)))
-        return img[..., 0] if img.ndim == 3 else img
+        return read_exr_minimal(path)
 
 
 def spec_cube_to_rgb_png(cube: np.ndarray, wavelengths, out_path: Path) -> None:
