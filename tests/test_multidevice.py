@@ -157,3 +157,32 @@ def test_shard_local_compaction_no_resharding_collectives():
     assert "all-to-all" not in txt, "unexpected all-to-all in sharded step"
     assert "collective-permute" not in txt, "unexpected collective-permute"
     assert "all-reduce" in txt  # the grads pmean must exist
+
+
+def test_eval_forward_sharded_no_collectives():
+    """The eval/render forward is ray-sharded under the mesh (not
+    replicated): its compiled HLO must contain NO collectives at all, and
+    its results must match the unsharded forward exactly."""
+    from umhs_tpu.parallel.mesh import make_eval_forward, make_mesh
+
+    model, params, occ, rays, _ = _flagship_setup(128)
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(9)
+
+    fn = jax.jit(make_eval_forward(model, mesh))
+    lowered = fn.lower(params, occ, rays, key)
+    txt = lowered.compile().as_text()
+    for coll in ("all-gather", "all-to-all", "collective-permute", "all-reduce"):
+        assert coll not in txt, f"unexpected {coll} in sharded eval forward"
+    # the ray axis really is partitioned across the 8 devices
+    assert 'sharding={devices=[8' in lowered.as_text() or "data" in str(
+        jax.tree_util.tree_leaves(fn(params, occ, rays, key))[0].sharding
+    )
+
+    out_s = fn(params, occ, rays, key)
+    out_r = jax.jit(make_eval_forward(model, None))(params, occ, rays, key)
+    for k in out_r:
+        np.testing.assert_allclose(
+            np.asarray(out_s[k]), np.asarray(out_r[k]), atol=2e-5, rtol=2e-4,
+            err_msg=k,
+        )

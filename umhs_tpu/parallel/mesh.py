@@ -134,3 +134,32 @@ def make_grad_fn(
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
+
+
+def make_eval_forward(model, mesh: Optional[Mesh], axis_name: str = "data"):
+    """Shard the inference forward over the ray axis of the mesh.
+
+    Training shards (make_grad_fn); without this, eval/render would run
+    fully replicated — every chip rendering the identical full chunk.
+    Identical shard_map discipline: marching, compaction and the field all
+    stay shard-local (every forward output is per-ray), so NO collectives
+    are emitted at all — outputs are simply ray-sharded like the inputs.
+    Ray counts must divide the mesh size (the trainer's chunk sizes are
+    256-aligned).
+
+    Returns fwd(params, occ, rays, key) -> outputs dict.
+    """
+
+    def fwd(params, occ, rays, key):
+        return model.forward(params, occ, rays, rng=key, train=False)
+
+    if mesh is None:
+        return fwd
+
+    return jax.shard_map(
+        fwd,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis_name), P()),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
