@@ -281,3 +281,31 @@ class TestTetrahedralInterpolation:
         idx_t, _, _ = _lane_indices_weights(x, self.CFG)
         idx_8, _, _ = _lane_indices_weights(x, TestHashEncoding.CFG)
         assert idx_t.shape[1] * 2 == idx_8.shape[1]
+
+
+def test_split_dense_gather_bit_identical():
+    """split_dense_gather regroups the forward gather into per-slice
+    gathers (small-table fast path); outputs and table-grads must be
+    BIT-identical to the single-gather path."""
+    import dataclasses as dc
+
+    for interp in ("trilinear", "tetrahedral"):
+        cfg = HashEncodingConfig(
+            num_levels=6, features_per_level=2, log2_hashmap_size=12,
+            base_resolution=4, max_resolution=64, interpolation=interp,
+        )
+        cfg_split = dc.replace(cfg, split_dense_gather=True)
+        assert len(cfg_split.gather_groups) >= 2
+        key = jax.random.PRNGKey(0)
+        table = init_hash_table(key, cfg)
+        pos = jax.random.uniform(jax.random.PRNGKey(1), (257, 3))
+
+        f = lambda c: lambda t: jnp.sum(hash_encode(t, pos, c) ** 2)
+        v0, g0 = jax.value_and_grad(f(cfg))(table)
+        v1, g1 = jax.value_and_grad(f(cfg_split))(table)
+        np.testing.assert_array_equal(
+            np.asarray(hash_encode(table, pos, cfg)),
+            np.asarray(hash_encode(table, pos, cfg_split)),
+        )
+        np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+        np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))

@@ -82,6 +82,9 @@ class ModelConfig:
     # "trilinear" (tcnn parity) or "tetrahedral" (4 simplex vertices —
     # half the table-row gathers per sample; see ops/encodings.py)
     hash_interpolation: str = "trilinear"
+    # split the dense coarse hash levels into small-table gather slices
+    # (forward-only, bit-identical; see ops/encodings.py)
+    hash_split_dense_gather: bool = False
     alpha_thre: float = 0.01
     cone_angle: float = 0.004
     render_step_size: Optional[float] = None
@@ -215,6 +218,7 @@ class UMHSModel:
                 max_resolution=config.max_res,
                 stochastic_grad=config.stochastic_hash_grad,
                 interpolation=config.hash_interpolation,
+                split_dense_gather=config.hash_split_dense_gather,
             ),
             compute_dtype=jnp.bfloat16
             if config.compute_dtype == "bfloat16"

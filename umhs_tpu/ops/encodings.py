@@ -116,10 +116,40 @@ class HashEncodingConfig:
     # gather is the dominant train cost (~45% of the step), so this is the
     # single biggest lever toward the reference L16xF2 shape being fast.
     interpolation: str = "trilinear"
+    # Forward-gather strategy: split the coarse DENSE levels into table
+    # slices small enough for the XLA:TPU small-table gather fast path
+    # (~30% cheaper per row below ~1.6 MB — docs/PERFORMANCE.md cost
+    # model) and gather them separately from the hashed levels' big table.
+    # Bit-identical outputs; forward-only (the backward scatters into the
+    # flat table either way).
+    split_dense_gather: bool = False
 
     @property
     def verts_per_cell(self) -> int:
         return 4 if self.interpolation == "tetrahedral" else 8
+
+    @property
+    def gather_groups(self):
+        """Static (lvl_start, lvl_end) groups for split_dense_gather: dense
+        levels greedily packed into <=1.5 MB-of-f32 slices, then all
+        remaining levels (incl. every hashed one) as the final big group."""
+        max_rows = (1_500_000 // 4) // self.features_per_level
+        sizes = self.level_sizes
+        dense_levels = sum(
+            1 for r in self.resolutions if r**3 <= self.hashmap_size
+        )
+        groups = []
+        start, acc = 0, 0
+        for lvl in range(dense_levels):
+            if acc and acc + sizes[lvl] > max_rows:
+                groups.append((start, lvl))
+                start, acc = lvl, 0
+            acc += sizes[lvl]
+        if start < dense_levels:
+            groups.append((start, dense_levels))
+        if dense_levels < self.num_levels:
+            groups.append((dense_levels, self.num_levels))
+        return tuple(groups)
 
     @property
     def growth_factor(self) -> float:
@@ -424,9 +454,27 @@ def _hash_encode_impl(table, pos, config: HashEncodingConfig):
     # flat 1-D (a (T, F) carry would be tile-padded 64x in loop layouts);
     # the 2-D view here is a free in-graph reshape that XLA fuses into the
     # gather without materialising a padded copy (measured).
-    rows = jnp.take(
-        table.reshape(-1, F), idx.reshape(-1), axis=0
-    )  # (N*lanes, F)
+    table2d = table.reshape(-1, F)
+    if config.split_dense_gather:
+        # per-group gathers: the dense coarse levels' slices are <=1.5 MB
+        # and hit the small-table fast path; indices are rebased into each
+        # slice (lane order is level-major, so groups are contiguous lanes)
+        V = config.verts_per_cell
+        offsets = config.level_offsets
+        sizes = config.level_sizes
+        feats_parts = []
+        for lvl_s, lvl_e in config.gather_groups:
+            o0 = offsets[lvl_s]
+            o1 = offsets[lvl_e - 1] + sizes[lvl_e - 1]
+            idx_g = idx[:, lvl_s * V : lvl_e * V] - o0
+            feats_parts.append(
+                jnp.take(table2d[o0:o1], idx_g.reshape(-1), axis=0).reshape(
+                    n, (lvl_e - lvl_s) * V, F
+                )
+            )
+        rows = jnp.concatenate(feats_parts, axis=1).reshape(-1, F)
+    else:
+        rows = jnp.take(table2d, idx.reshape(-1), axis=0)  # (N*lanes, F)
     outs = []
     for f in range(F):
         feats = rows[:, f].reshape(n, -1)
