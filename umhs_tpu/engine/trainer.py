@@ -63,6 +63,12 @@ class TrainerConfig:
     steps_per_eval_image: int = 2000
     steps_per_log: int = 100
     save_only_latest_checkpoint: bool = False
+    # checkpoint when a train() call reaches its target step. Callers that
+    # drive the loop in short slices (bench.py, tests) disable this: each
+    # slice's end is `self.step == total_iters`, and an orbax save per slice
+    # (~1 min of host serialization at production param sizes) would swamp
+    # the measurement window.
+    save_final: bool = True
     mixed_precision: bool = True
     gradient_accumulation_steps: int = 1
     seed: int = 42
@@ -452,7 +458,9 @@ class Trainer:
                     self.step, {f"eval_image/{k}": v for k, v in evi.items()}
                 )
 
-            if crossed(cfg.steps_per_save) or self.step == total_iters:
+            if crossed(cfg.steps_per_save) or (
+                cfg.save_final and self.step == total_iters
+            ):
                 self.save_checkpoint()
 
         last_metrics["total_train_time_s"] = time.time() - t_start
