@@ -178,3 +178,47 @@ class TestWriter:
         w = make_writer("nonexistent+console", tmp_path)
         w.write(1, {"x": 1.0})
         w.close()
+
+
+class TestLPIPS:
+    def test_fallback_is_variant_scoped(self):
+        from umhs_tpu.utils import metrics as mu
+
+        rng = np.random.default_rng(0)
+        a = rng.random((32, 32, 3)).astype(np.float32)
+        v = mu.lpips(a, a)
+        assert v is not None and v < 1e-8  # identical images -> ~0
+        assert mu.LPIPS_VARIANT in ("vgg16_random", "vgg16_imagenet")
+
+    def test_npz_dropin_upgrades_variant(self, tmp_path, monkeypatch):
+        """A converted vgg16_imagenet.npz (scripts/convert_vgg16_weights.py
+        layout) switches LPIPS_VARIANT to 'vgg16_imagenet' and loads into
+        the conv stack (verified here with correctly-shaped stand-in
+        weights; the real archive has identical structure)."""
+        from umhs_tpu.utils import metrics as mu
+
+        rng = np.random.default_rng(0)
+        shapes, c_in, arrs = [], 3, {}
+        i = 0
+        for spec in mu._VGG16_CFG:
+            if spec == "M":
+                continue
+            arrs[f"conv{i}_w"] = rng.standard_normal(
+                (spec, c_in, 3, 3)
+            ).astype(np.float32) * 0.05
+            arrs[f"conv{i}_b"] = np.zeros(spec, np.float32)
+            c_in = spec
+            i += 1
+        f = tmp_path / "vgg16_imagenet.npz"
+        np.savez(f, **arrs)
+        monkeypatch.setenv("UMHS_VGG16_WEIGHTS", str(f))
+        mu._LPIPS_CACHE.clear()
+        try:
+            a = rng.random((32, 32, 3)).astype(np.float32)
+            b = rng.random((32, 32, 3)).astype(np.float32)
+            v = mu.lpips(a, b)
+            assert v is not None and v > 0
+            assert mu.LPIPS_VARIANT == "vgg16_imagenet"
+        finally:
+            mu._LPIPS_CACHE.clear()
+            mu.LPIPS_VARIANT = None

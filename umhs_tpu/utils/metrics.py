@@ -14,6 +14,7 @@ perceptual distance (eval-only metric in the reference as well).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -111,10 +112,32 @@ _VGG16_CFG = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
               512, 512, 512, "M", 512, 512, 512, "M")
 
 
+def _vgg16_weight_file() -> Optional["Path"]:
+    """Locate a dropped-in ImageNet VGG16 weight archive (.npz produced by
+    scripts/convert_vgg16_weights.py). Checked locations, in order:
+    $UMHS_VGG16_WEIGHTS, <repo>/assets/vgg16_imagenet.npz,
+    ~/.cache/umhs_tpu/vgg16_imagenet.npz. This environment has zero
+    egress, so the weights cannot be fetched — but any deployment with the
+    file present gets true calibrated LPIPS with no code change."""
+    from pathlib import Path
+
+    env = os.environ.get("UMHS_VGG16_WEIGHTS")
+    candidates = [Path(env)] if env else []
+    candidates += [
+        Path(__file__).resolve().parents[2] / "assets" / "vgg16_imagenet.npz",
+        Path.home() / ".cache" / "umhs_tpu" / "vgg16_imagenet.npz",
+    ]
+    for p in candidates:
+        if p.is_file():
+            return p
+    return None
+
+
 def _build_vgg_features():
-    """VGG16 feature stack: ImageNet-pretrained when torchvision + a local
-    weight cache are available; otherwise the same architecture built in
-    plain torch with deterministic random init (seed 0)."""
+    """VGG16 feature stack: ImageNet-pretrained when a converted weight
+    archive (see _vgg16_weight_file) or torchvision's cache is available;
+    otherwise the same architecture built in plain torch with deterministic
+    random init (seed 0)."""
     global LPIPS_VARIANT
     import torch
 
@@ -129,15 +152,26 @@ def _build_vgg_features():
     except Exception:
         pass
     torch.manual_seed(0)
-    layers, c_in = [], 3
+    layers, c_in, convs = [], 3, []
     for spec in _VGG16_CFG:
         if spec == "M":
             layers.append(torch.nn.MaxPool2d(2, 2))
         else:
-            layers.append(torch.nn.Conv2d(c_in, spec, 3, padding=1))
+            conv = torch.nn.Conv2d(c_in, spec, 3, padding=1)
+            convs.append(conv)
+            layers.append(conv)
             layers.append(torch.nn.ReLU(inplace=True))
             c_in = spec
-    LPIPS_VARIANT = "vgg16_random"
+    wfile = _vgg16_weight_file()
+    if wfile is not None:
+        with np.load(wfile) as z:
+            with torch.no_grad():
+                for i, conv in enumerate(convs):
+                    conv.weight.copy_(torch.from_numpy(z[f"conv{i}_w"]))
+                    conv.bias.copy_(torch.from_numpy(z[f"conv{i}_b"]))
+        LPIPS_VARIANT = "vgg16_imagenet"
+    else:
+        LPIPS_VARIANT = "vgg16_random"
     return torch.nn.Sequential(*layers).eval(), torch
 
 
