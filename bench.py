@@ -155,15 +155,18 @@ def main():
             mixed_precision=True,
             use_mesh=True,
             dynamic_batching=True,
-            # TWO scheduled adapts (just past the occupancy warmup at 256,
-            # then after the grid has pruned) and no periodic re-adapts:
-            # exactly three compiled chunk shapes per run, and — with fixed
-            # seeds + synthetic data — bit-identical adapted shapes across
-            # runs, so the persistent compilation cache hits. The second
-            # adapt matters for throughput: at step 272 the grid is still
-            # ~2x too dense, so the first adapt sizes the ray batch ~2x too
-            # small (19k rays vs the ~40k steady-state optimum).
-            adapt_steps=(272, 368),
+            # TWO scheduled adapts (exactly at the occupancy warmup boundary
+            # at 256, then after the grid has pruned) and no periodic
+            # re-adapts: exactly three compiled chunk shapes per run, and —
+            # with fixed seeds + synthetic data — bit-identical adapted
+            # shapes across runs, so the persistent compilation cache hits.
+            # Adapting exactly at 256 means every post-warmup (fused-occ)
+            # chunk runs at an adapted shape — the initial 4096-ray shape
+            # never needs a fused-variant compile. The second adapt matters
+            # for throughput: at step 256 the grid is still ~2x too dense,
+            # so the first adapt sizes the ray batch ~2x too small (19k
+            # rays vs the ~40k steady-state optimum).
+            adapt_steps=(256, 368),
             adapt_every=0,
             # the bench drives train() in short slices; a checkpoint save at
             # every slice end would swamp the measurement window

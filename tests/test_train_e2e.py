@@ -30,7 +30,8 @@ def scene_dir(tmp_path_factory):
     return root
 
 
-def _trainer(scene_dir, tmp_path, method="rgb+spectral", iters=300, **model_kw):
+def _trainer(scene_dir, tmp_path, method="rgb+spectral", iters=300,
+             trainer_kw=None, **model_kw):
     model_cfg = ModelConfig(
         method=method,
         grid_resolution=32,
@@ -60,6 +61,7 @@ def _trainer(scene_dir, tmp_path, method="rgb+spectral", iters=300, **model_kw):
         mixed_precision=False,
         use_mesh=False,
         optimizer=OptimizerConfig(lr=1e-2, max_steps=iters),
+        **(trainer_kw or {}),
     )
     return Trainer(t_cfg, model_cfg, dm_cfg, num_classes=2)
 
@@ -251,6 +253,41 @@ def test_141band_bf16_staging_training(scene_dir, tmp_path, monkeypatch):
     )
     em = np.load("endmembers.npy")
     assert em.shape == (4, 141)
+
+
+def test_fused_occ_update_parity(scene_dir, tmp_path, monkeypatch):
+    """The fused-into-chunk partial occupancy update (fuse_occ_update=True,
+    the default) must produce the same trajectory as the separate occ
+    dispatch: both consume the identical fold_in(seed+2, step) RNG stream,
+    so past the 256-step occupancy warmup the two paths differ only by XLA
+    fusion boundaries (nerfacc update_every_n_steps semantics either way,
+    /root/reference/umhsnerf/umhs_model.py:549-554)."""
+    results = []
+    for fuse in (True, False):
+        monkeypatch.chdir(tmp_path)
+        t = _trainer(
+            scene_dir, tmp_path, method="rgb", iters=288,
+            trainer_kw={"fuse_occ_update": fuse},
+        ).setup()
+        t.train()
+        # the fused variant must actually have been exercised
+        fused_keys = [k for k in t._chunk_fns if k[-1]]
+        assert bool(fused_keys) == fuse, t._chunk_fns.keys()
+        results.append(
+            (
+                np.asarray(t.state["occ"]["binaries"]),
+                np.asarray(t.state["params"]["density_mlp"]["w0"])
+                if "density_mlp" in t.state["params"]
+                else np.asarray(
+                    jax.tree_util.tree_leaves(t.state["params"])[0]
+                ),
+                t.eval_batch()["psnr"],
+            )
+        )
+    (bin_a, w_a, psnr_a), (bin_b, w_b, psnr_b) = results
+    assert (bin_a == bin_b).mean() > 0.995, (bin_a.mean(), bin_b.mean())
+    np.testing.assert_allclose(w_a, w_b, rtol=1e-3, atol=1e-4)
+    assert abs(psnr_a - psnr_b) < 0.5, (psnr_a, psnr_b)
 
 
 def test_dino_head_trains_and_cluster_gate(scene_dir, tmp_path, monkeypatch):

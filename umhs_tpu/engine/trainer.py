@@ -100,6 +100,15 @@ class TrainerConfig:
     # on the hash table, the dominant step cost. 0 disables.
     adapt_every: int = 1024
     adapt_drift: float = 0.2
+    # Fuse the steady-state (partial) occupancy EMA update into the head of
+    # the train chunk dispatch. The separate occ dispatch was measured at
+    # ~1.9 s/call in-trainer vs ~0.7 s standalone — the gap is the extra
+    # device dispatch (tunnel round trip) plus the donation round trip of
+    # the ~110 MB occ buffers. Fused, the update rides the chunk's single
+    # dispatch. Warmup FULL updates stay a separate dispatch: fusing the
+    # 8.4M-probe full variant into the scanned fwd+bwd chunk was measured
+    # to blow up XLA compile time catastrophically (docs/PERFORMANCE.md).
+    fuse_occ_update: bool = True
     optimizer: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
 
 
@@ -267,7 +276,8 @@ class Trainer:
         return train_step
 
     def _build_train_chunk(self, num_steps: int, batch_size: Optional[int] = None,
-                           march_cfg=None, compact_budget: Optional[int] = None):
+                           march_cfg=None, compact_budget: Optional[int] = None,
+                           fuse_occ: bool = False):
         """`num_steps` train steps fused into ONE dispatch via lax.scan.
 
         A host-side step loop pays a full client->relay->TPU dispatch round
@@ -288,8 +298,21 @@ class Trainer:
         that mattered for memory traffic.
         """
         step_fn = self._build_train_step(batch_size, march_cfg, compact_budget)
+        model = self.model
+        occ_base_key = jax.random.PRNGKey(self.config.seed + 2)
 
         def chunk(state, data, cam):
+            if fuse_occ:
+                # partial occupancy EMA update fused into the chunk's single
+                # dispatch (same RNG stream as _build_occ_update so the
+                # trajectory is independent of the fusion choice)
+                occ = model.update_occupancy(
+                    state["occ"],
+                    state["params"],
+                    jax.random.fold_in(occ_base_key, state["step"]),
+                    full=False,
+                )
+                state = dict(state, occ=occ)
             # ALL steps inside the scan; metrics of the last step are read
             # from the stacked scan outputs (scalars — bytes). Unrolling the
             # last step for its metrics instead would inline the whole
@@ -365,9 +388,12 @@ class Trainer:
 
         while self.step < total_iters:
             step = self.step
-            # BEFORE_TRAIN_ITERATION: occupancy grid EMA update
+            # BEFORE_TRAIN_ITERATION: occupancy grid EMA update. Steady-state
+            # (partial) updates fuse into the chunk dispatch when enabled;
+            # warmup FULL updates always go through the separate dispatch.
             due, full = self.model.occ_update_due(step)
-            if due:
+            fuse = due and not full and cfg.fuse_occ_update
+            if due and not fuse:
                 self.state["occ"] = self._occ_update_fn(
                     self.state["occ"], self.state["params"], step, full
                 )
@@ -378,10 +404,10 @@ class Trainer:
                 if self._dyn_budget2 is not None
                 else self._dyn_budget
             )
-            key = (n, self._dyn_rays, self._dyn_march.num_samples, budget)
+            key = (n, self._dyn_rays, self._dyn_march.num_samples, budget, fuse)
             if key not in self._chunk_fns:
                 self._chunk_fns[key] = self._build_train_chunk(
-                    n, self._dyn_rays, self._dyn_march, budget
+                    n, self._dyn_rays, self._dyn_march, budget, fuse_occ=fuse
                 )
             self.state, metrics = self._chunk_fns[key](
                 self.state, self.train_data, self.train_cam
