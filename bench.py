@@ -165,9 +165,15 @@ def main():
             # never needs a fused-variant compile. The second adapt matters
             # for throughput: at step 256 the grid is still ~2x too dense,
             # so the first adapt sizes the ray batch ~2x too small (19k
-            # rays vs the ~40k steady-state optimum).
-            adapt_steps=(256, 368),
+            # rays vs the ~40k steady-state optimum). The third adapt
+            # replaces the second's *bootstrapped* stage-2 compact budget
+            # (unmeasured at step 368, padded to ~183k rows) with one sized
+            # from measured stage-2 demand (~57k rows by step 512) — each
+            # padded budget row costs real hash gathers + MLP lanes.
+            adapt_steps=(256, 368, 512),
             adapt_every=0,
+            # UMHS_BENCH_FUSE=0 disables occ-update fusion (A/B knob)
+            fuse_occ_update=os.environ.get("UMHS_BENCH_FUSE", "1") != "0",
             # the bench drives train() in short slices; a checkpoint save at
             # every slice end would swamp the measurement window
             save_final=False,
@@ -196,6 +202,13 @@ def main():
             # UMHS_BENCH_INTERP=trilinear for the tcnn-parity (8-corner)
             # interpolation row.
             hash_interpolation=os.environ.get("UMHS_BENCH_INTERP", "tetrahedral"),
+            # UMHS_BENCH_STAGES="8,16" opts into three-stage termination
+            # (an extra exact-termination checkpoint at lane 8) for A/Bs
+            stage_boundaries=tuple(
+                int(x)
+                for x in os.environ.get("UMHS_BENCH_STAGES", "").split(",")
+                if x
+            ),
             march_pool=4,
         ),
         DataManagerConfig(
@@ -214,7 +227,7 @@ def main():
     # the deadline interrupts before the steady-state window completes.
     # ------------------------------------------------------------------
     best_rps = 0.0
-    warmup_until = 368 + 32  # last adapt boundary + settle/compile slack
+    warmup_until = 512 + 32  # last adapt boundary + settle/compile slack
     measured_rays, measured_s, measured_steps = 0, 0.0, 0
 
     try:

@@ -103,3 +103,15 @@ def test_config_yaml_roundtrip(tmp_path):
     loaded = load_config(tmp_path / "config.yml")
     assert loaded == cfg
     assert isinstance(loaded.pipeline.datamanager.dataparser.data, Path)
+
+
+def test_tuple_fields_parse():
+    """Tuple-typed fields accept comma- or space-separated CLI values and
+    survive the yaml round trip."""
+    cfg, _ = apply_cli_overrides(
+        umhs_method_defaults(),
+        ["--pipeline.model.stage-boundaries", "8,16",
+         "--trainer.adapt-steps", "256 368 512"],
+    )
+    assert cfg.pipeline.model.stage_boundaries == (8, 16)
+    assert cfg.trainer.adapt_steps == (256, 368, 512)

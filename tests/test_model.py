@@ -278,6 +278,36 @@ class TestStagedEval:
         assert int(b["num_eval_s1_per_ray"].sum()) == 256
         assert int(b["num_eval_s2_per_ray"].sum()) == 768
 
+    def test_three_stage_matches_two_stage(self):
+        """An extra termination checkpoint (stage_boundaries) only removes
+        provably-invisible evaluations — rendered outputs are unchanged."""
+        two = _small_model(stage_samples=4)
+        three = _small_model(stage_boundaries=(2, 4))
+        assert three.active_stage_boundaries(16) == (2, 4)
+        params, occ = two.init(jax.random.PRNGKey(0))
+        occ = mark_all_occupied(occ)
+        r = _rays(64)
+        a = two.forward(params, occ, r, rng=jax.random.PRNGKey(1),
+                        compact_budget=(256, 768))
+        b = three.forward(params, occ, r, rng=jax.random.PRNGKey(1),
+                          compact_budget=(128, 128, 768))
+        for k in ("rgb", "spectral", "accumulation", "depth"):
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), atol=1e-5
+            )
+        evals_a = int(a["num_eval_s1_per_ray"].sum()) + int(
+            a["num_eval_s2_per_ray"].sum()
+        )
+        evals_b = (
+            int(b["num_eval_s1_per_ray"].sum())
+            + int(b["num_eval_s2_per_ray"].sum())
+            + int(b["num_eval_s3_per_ray"].sum())
+        )
+        assert evals_b <= evals_a
+        # per-stage metrics surface for the trainer's budget sizing
+        m = three.metrics(b, {"image": jnp.zeros((64, 4))})
+        assert "num_eval_s3_per_batch" in m
+
     def test_termination_skips_occluded_tail(self):
         # train a few steps is overkill: fake an opaque field by scaling
         # the density MLP's output bias enormously -> every sample opaque,

@@ -149,7 +149,7 @@ def test_dynamic_state_survives_resume(scene_dir, tmp_path, monkeypatch):
     trainer.setup()
     trainer.train()
     trainer.save_checkpoint()
-    adapted = (trainer._dyn_rays, trainer._dyn_march.num_samples, trainer._dyn_budget)
+    adapted = (trainer._dyn_rays, trainer._dyn_march.num_samples, trainer._dyn_budgets)
     assert adapted[0] != trainer.datamanager.config.train_num_rays_per_batch
 
     t2 = _trainer(scene_dir, tmp_path, method="rgb", iters=64)
@@ -158,7 +158,7 @@ def test_dynamic_state_survives_resume(scene_dir, tmp_path, monkeypatch):
     )
     t2.setup()
     t2.load_checkpoint(trainer.checkpoint_dir)
-    assert (t2._dyn_rays, t2._dyn_march.num_samples, t2._dyn_budget) == adapted
+    assert (t2._dyn_rays, t2._dyn_march.num_samples, t2._dyn_budgets) == adapted
     t2.train(num_iterations=80)  # continues with the adapted shapes
     assert t2.step == 80
 
@@ -187,7 +187,7 @@ def test_periodic_readapt_resizes_budget(scene_dir, tmp_path, monkeypatch):
     trainer.train()  # periodic checks at 48, 64, 80, 96
     assert len(calls) > n_scheduled, calls  # periodic re-adapt fired
     # budget tracks the measured mean: ~1.3x mean samples/ray x rays
-    assert trainer._dyn_budget <= 1.35 * trainer._dyn_rays * 32
+    assert trainer._dyn_budgets[0] <= 1.35 * trainer._dyn_rays * 32
 
 
 def test_141band_bf16_staging_training(scene_dir, tmp_path, monkeypatch):
@@ -253,6 +253,39 @@ def test_141band_bf16_staging_training(scene_dir, tmp_path, monkeypatch):
     )
     em = np.load("endmembers.npy")
     assert em.shape == (4, 141)
+
+
+def test_three_stage_dynamic_budgets(scene_dir, tmp_path, monkeypatch):
+    """stage_boundaries=(4, 8): after the one-shot adapt the trainer sizes
+    THREE compact stage budgets, the chunk compiles with the three-way lane
+    split, per-stage eval metrics surface, and training stays sane."""
+    monkeypatch.chdir(tmp_path)
+    import dataclasses as dc
+
+    t = _trainer(
+        scene_dir, tmp_path, method="rgb", iters=64, stage_boundaries=(4, 8)
+    )
+    t.config = dc.replace(
+        t.config, dynamic_batching=True, adapt_steps=(32,),
+        target_num_samples=8192,
+    )
+    t.setup()
+    m = t.train()
+    assert len(t._dyn_budgets) == 3, t._dyn_budgets
+    assert "num_eval_s3_per_batch" in m, sorted(m)
+    assert m["psnr"] > 15.0, m["psnr"]
+    # resume keeps all three budgets
+    t.save_checkpoint()
+    t2 = _trainer(
+        scene_dir, tmp_path, method="rgb", iters=64, stage_boundaries=(4, 8)
+    )
+    t2.config = dc.replace(
+        t2.config, dynamic_batching=True, adapt_steps=(32,),
+        target_num_samples=8192,
+    )
+    t2.setup()
+    t2.load_checkpoint(t.checkpoint_dir)
+    assert t2._dyn_budgets == t._dyn_budgets
 
 
 def test_fused_occ_update_parity(scene_dir, tmp_path, monkeypatch):

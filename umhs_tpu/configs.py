@@ -139,6 +139,17 @@ def _parse_value(raw: str, typ: Any):
         if raw.lower() in ("false", "0", "no"):
             return False
         raise ValueError(f"expected bool, got {raw!r}")
+    if get_origin(typ) in (tuple, list):
+        # tuple/list fields (adapt_steps, stage_boundaries, ...) accept
+        # comma- or space-separated values: --x 8,16 or --x "8 16"
+        args = [a for a in get_args(typ) if a is not Ellipsis]
+        inner = args[0] if args else str
+        vals = [
+            _parse_value(p, inner)
+            for p in raw.replace(",", " ").split()
+            if p
+        ]
+        return tuple(vals) if get_origin(typ) is tuple else vals
     if typ is int:
         return int(raw)
     if typ is float:

@@ -372,9 +372,10 @@ class Trainer:
             self._dyn_rays = self.datamanager.config.train_num_rays_per_batch
             self._dyn_march = self.model.march_config
             # pre-adaptation: no compact truncation (full R*S budget) so the
-            # bootstrap phase on a dense grid samples exactly like nerfacc
-            self._dyn_budget = self._dyn_rays * self._dyn_march.num_samples
-            self._dyn_budget2 = None
+            # bootstrap phase on a dense grid samples exactly like nerfacc.
+            # _dyn_budgets: [whole-batch] unstaged, or one entry per
+            # termination stage (len(active_stage_boundaries)+1) once sized
+            self._dyn_budgets = [self._dyn_rays * self._dyn_march.num_samples]
             self._train_step_fn = True  # built lazily per (n, rays, march)
         total_iters = num_iterations or cfg.max_num_iterations
 
@@ -400,9 +401,9 @@ class Trainer:
 
             n = min(interval - (step % interval), total_iters - step)
             budget = (
-                (self._dyn_budget, self._dyn_budget2)
-                if self._dyn_budget2 is not None
-                else self._dyn_budget
+                tuple(self._dyn_budgets)
+                if len(self._dyn_budgets) > 1
+                else self._dyn_budgets[0]
             )
             key = (n, self._dyn_rays, self._dyn_march.num_samples, budget, fuse)
             if key not in self._chunk_fns:
@@ -436,23 +437,20 @@ class Trainer:
                     # re-adapt only on real drift: occupancy keeps pruning
                     # long after the scheduled adapts, leaving the compact
                     # budgets oversized (wasted hash gathers/scatters)
-                    eval_now = float(
-                        metrics.get("num_eval_s1_per_batch", 0.0)
-                    ) + float(metrics.get("num_eval_s2_per_batch", 0.0))
+                    eval_now = sum(self._eval_stage_metrics(metrics))
                     if eval_now <= 0.0:
                         eval_now = float(metrics["num_samples_per_batch"])
                     mean_now = eval_now / max(self._dyn_rays, 1)
                     sized_for = (
-                        self._dyn_budget / 1.3
-                        + (self._dyn_budget2 or 0) / 1.6
+                        self._dyn_budgets[0] / 1.3
+                        + sum(self._dyn_budgets[1:]) / 1.6
                     ) / max(self._dyn_rays, 1)
                     periodic = abs(mean_now - sized_for) > cfg.adapt_drift * sized_for
                 if scheduled or periodic:
                     self._adapt_batch(
                         float(metrics["num_samples_per_batch"]),
                         p99=float(metrics.get("num_occupied_p99", 0.0)),
-                        eval_s1=float(metrics.get("num_eval_s1_per_batch", 0.0)),
-                        eval_s2=float(metrics.get("num_eval_s2_per_batch", 0.0)),
+                        eval_stages=self._eval_stage_metrics(metrics),
                     )
 
             if crossed(cfg.steps_per_log) or self.step == total_iters:
@@ -492,12 +490,21 @@ class Trainer:
         last_metrics["total_train_time_s"] = time.time() - t_start
         return last_metrics
 
+    @staticmethod
+    def _eval_stage_metrics(metrics) -> list:
+        """Per-stage field-evaluation counts [s1, s2, ...] from a metrics
+        dict (num_eval_s{i}_per_batch keys, in stage order)."""
+        out, i = [], 1
+        while f"num_eval_s{i}_per_batch" in metrics:
+            out.append(float(metrics[f"num_eval_s{i}_per_batch"]))
+            i += 1
+        return out
+
     def _adapt_batch(
         self,
         samples_per_batch: float,
         p99: float = 0.0,
-        eval_s1: float = 0.0,
-        eval_s2: float = 0.0,
+        eval_stages: Optional[list] = None,
     ) -> None:
         """Resize (rays, samples-per-ray, stage budgets) to measurements.
 
@@ -520,12 +527,14 @@ class Trainer:
         def round_up(x, m):
             return int(-(-x // m) * m)
 
+        eval_stages = eval_stages or []
+        eval_s1 = eval_stages[0] if eval_stages else 0.0
         tail = 1.25 * p99 if p99 > 0 else 3.0 * mean_spr
         new_s = min(s0, max(2 * osub, round_up(tail, osub)))
         # R sized by EVALUATED samples (staged termination skips invisible
         # tails; marched-but-skipped lanes cost no field work)
         mean_eval = (
-            (eval_s1 + eval_s2) / max(self._dyn_rays, 1)
+            sum(eval_stages) / max(self._dyn_rays, 1)
             if eval_s1 > 0
             else mean_spr
         )
@@ -542,49 +551,50 @@ class Trainer:
             self._dyn_march.num_samples, self._dyn_rays
         )
         scale_r = new_r / max(self._dyn_rays, 1)
-        old_budgets = (self._dyn_budget, self._dyn_budget2)
+        old_budgets = list(self._dyn_budgets)
         self._dyn_rays = new_r
         self._dyn_march = dc.replace(self._dyn_march, num_samples=new_s)
-        # compact stage budgets: ~1.3x the measured per-stage means (stage 2
-        # gets extra headroom — its occupancy is the most variable)
-        if eval_s1 > 0 and self.model.config.stage_samples > 0 and \
-                self.model.config.stage_samples < new_s:
-            s1_cap = self.model.config.stage_samples
-            self._dyn_budget = max(
-                4096, int(1.3 * eval_s1 * scale_r) // 256 * 256
-            )
-            if eval_s2 <= 0.0 or (
-                self._dyn_budget2 is not None
-                and eval_s2 >= 0.9 * self._dyn_budget2
-            ):
-                # stage-2 demand unmeasured (first staged adapt), or the
-                # previous measurement ran into its own budget ceiling
-                # (truncation hides true demand): bootstrap from the
-                # marched tail — mean excess over the stage-1 lanes,
-                # bounded below by the stage-1 budget
-                est = max(mean_spr - s1_cap, 0.25 * mean_spr) * new_r
-                self._dyn_budget2 = max(
-                    self._dyn_budget, int(1.6 * est) // 256 * 256
-                )
-            else:
-                self._dyn_budget2 = max(
-                    4096, int(1.6 * eval_s2 * scale_r) // 256 * 256
-                )
+        # compact stage budgets: ~1.3x the measured stage-1 mean; tail
+        # stages get extra headroom (1.6x) — their occupancy is the most
+        # variable. One budget per termination stage.
+        bounds = self.model.active_stage_boundaries(new_s)
+        if eval_s1 > 0 and bounds:
+            s1_cap = bounds[0]
+            budgets = [max(4096, int(1.3 * eval_s1 * scale_r) // 256 * 256)]
+            n_tail = len(bounds)
+            # bootstrap estimate for unmeasured tail stages: mean marched
+            # excess over the stage-1 lanes, split evenly among them
+            est = max(mean_spr - s1_cap, 0.25 * mean_spr) * new_r
+            for i in range(1, n_tail + 1):
+                measured = eval_stages[i] if i < len(eval_stages) else 0.0
+                prev = old_budgets[i] if i < len(old_budgets) else None
+                if measured <= 0.0 or (prev is not None and measured >= 0.9 * prev):
+                    # demand unmeasured (first staged adapt), or the prior
+                    # measurement ran into its own budget ceiling
+                    # (truncation hides true demand): bootstrap, bounded
+                    # below by the stage-1 budget
+                    budgets.append(
+                        max(budgets[0], int(1.6 * est / n_tail) // 256 * 256)
+                    )
+                else:
+                    budgets.append(
+                        max(4096, int(1.6 * measured * scale_r) // 256 * 256)
+                    )
+            self._dyn_budgets = budgets
         else:
-            self._dyn_budget = max(
-                4096, int(1.3 * mean_spr * new_r) // 256 * 256
-            )
-            self._dyn_budget2 = None
+            self._dyn_budgets = [
+                max(4096, int(1.3 * mean_spr * new_r) // 256 * 256)
+            ]
         # no-op only when BOTH the shapes and the budgets are unchanged:
         # with rays pinned at the cap the budgets still drift and must be
         # resized, else the periodic drift check re-fires forever
-        if shapes_unchanged and (self._dyn_budget, self._dyn_budget2) == old_budgets:
+        if shapes_unchanged and self._dyn_budgets == old_budgets:
             return
         print(
             f"[trainer] dynamic batch: mean eval samples/ray {mean_eval:.1f} "
             f"(marched {mean_spr:.1f}, p99 {p99:.0f}) -> "
             f"rays {new_r}, samples/ray {new_s}, "
-            f"budgets {self._dyn_budget}/{self._dyn_budget2}"
+            f"budgets {'/'.join(str(b) for b in self._dyn_budgets)}"
         )
 
     # ------------------------------------------------------------------
@@ -780,8 +790,7 @@ class Trainer:
                     {
                         "rays": self._dyn_rays,
                         "num_samples": self._dyn_march.num_samples,
-                        "budget": self._dyn_budget,
-                        "budget2": self._dyn_budget2,
+                        "budgets": list(self._dyn_budgets),
                     },
                     f,
                 )
@@ -827,9 +836,12 @@ class Trainer:
             self._dyn_march = dc.replace(
                 self.model.march_config, num_samples=int(dyn["num_samples"])
             )
-            self._dyn_budget = int(dyn["budget"])
-            b2 = dyn.get("budget2")
-            self._dyn_budget2 = int(b2) if b2 is not None else None
+            if "budgets" in dyn:
+                self._dyn_budgets = [int(b) for b in dyn["budgets"]]
+            else:  # legacy single/dual-budget checkpoints
+                self._dyn_budgets = [int(dyn["budget"])] + (
+                    [int(dyn["budget2"])] if dyn.get("budget2") else []
+                )
         # endmember dump on load (reference umhs_pipeline.py:175)
         if "endmembers" in self.state["params"]:
             np.save(

@@ -137,6 +137,13 @@ class ModelConfig:
     # early_stop_eps — nerfacc's sigma_fn termination at stage granularity
     # (/root/reference/umhsnerf/umhs_model.py:229-237). 0 disables staging.
     stage_samples: int = 16
+    # Optional multi-checkpoint staging: explicit ascending lane boundaries
+    # replacing the single stage_samples split, e.g. (8, 16) -> three stages
+    # [0,8), [8,16), [16,S) with an exact termination check after each.
+    # Empty = (stage_samples,). Extra checkpoints terminate rays earlier
+    # (fewer field evaluations) at the cost of one more compaction buffer
+    # and its gather/scatter per stage.
+    stage_boundaries: Tuple[int, ...] = ()
     # Sampler family: 'occgrid' (the reference method's nerfacc-style
     # occupancy marching) or 'proposal' (nerfacto-style proposal networks
     # with PDF resampling — no occupancy grid, robust on unbounded scenes).
@@ -277,6 +284,18 @@ class UMHSModel:
         """Static compact-buffer size, 256-aligned."""
         b = int(num_rays * num_samples * self.config.compact_fraction)
         return max(256, (b // 256) * 256)
+
+    def active_stage_boundaries(self, num_samples: int) -> Tuple[int, ...]:
+        """Staged-termination lane boundaries in effect for a per-ray sample
+        count: config.stage_boundaries (else (stage_samples,)), sorted and
+        filtered to (0, num_samples). The trainer sizes one compact budget
+        per stage (len(bounds)+1) under this same rule, so the forward's
+        lane splits and the supplied budget tuple always agree in length."""
+        cfg = self.config
+        bounds = tuple(cfg.stage_boundaries) or (
+            (cfg.stage_samples,) if cfg.stage_samples > 0 else ()
+        )
+        return tuple(sorted({b for b in bounds if 0 < b < num_samples}))
     def forward(
         self,
         params,
@@ -381,10 +400,11 @@ class UMHSModel:
             # an even lane split of one budget can starve a stage and the
             # overflow clamp then drops samples brutally, where the march's
             # global-budget rescale degrades gracefully (dt-conserving).
-            S1 = min(cfg.stage_samples, S) if cfg.stage_samples > 0 else S
-            if isinstance(B, (tuple, list)) and len(B) == 2 and S1 < S:
+            bounds = self.active_stage_boundaries(S)
+            if isinstance(B, (tuple, list)) and bounds and len(B) == len(bounds) + 1:
                 stage_budgets = [int(b) for b in B]
-                lane_splits = [(0, S1), (S1, S)]
+                edges = (0,) + bounds + (S,)
+                lane_splits = list(zip(edges[:-1], edges[1:]))
             else:
                 stage_budgets = [sum(B) if isinstance(B, (tuple, list)) else int(B)]
                 lane_splits = [(0, S)]
@@ -510,12 +530,9 @@ class UMHSModel:
                     for sd_ in stage_data
                 )
 
-            num_eval_s1 = jnp.sum(mask_parts[0].astype(jnp.int32), axis=-1)
-            num_eval_s2 = (
-                jnp.sum(mask_parts[1].astype(jnp.int32), axis=-1)
-                if len(mask_parts) > 1
-                else jnp.zeros_like(num_eval_s1)
-            )
+            num_eval_stages = [
+                jnp.sum(mp.astype(jnp.int32), axis=-1) for mp in mask_parts
+            ]
         else:
             flat_pos = positions.reshape(-1, 3)
             density, geo_feat = field_density(params, self.field_config, flat_pos)
@@ -544,8 +561,7 @@ class UMHSModel:
             accumulate_sg = lambda key: accumulate(
                 jax.lax.stop_gradient(weights), heads[key]
             )
-            num_eval_s1 = jnp.sum(mask.astype(jnp.int32), axis=-1)
-            num_eval_s2 = jnp.zeros_like(num_eval_s1)
+            num_eval_stages = [jnp.sum(mask.astype(jnp.int32), axis=-1)]
 
         outputs: Dict[str, jnp.ndarray] = {
             "accumulation": render_accumulation(weights),
@@ -555,9 +571,15 @@ class UMHSModel:
             # field evaluations actually performed per stage (staged exact
             # termination skips provably-invisible tails) — the trainer
             # sizes the stage budgets and R from these
-            "num_eval_s1_per_ray": num_eval_s1,
-            "num_eval_s2_per_ray": num_eval_s2,
+            "num_eval_s1_per_ray": num_eval_stages[0],
+            "num_eval_s2_per_ray": (
+                num_eval_stages[1]
+                if len(num_eval_stages) > 1
+                else jnp.zeros_like(num_eval_stages[0])
+            ),
         }
+        for i, ne in enumerate(num_eval_stages[2:], start=3):
+            outputs[f"num_eval_s{i}_per_ray"] = ne
 
         if cfg.method == "rgb":
             outputs["rgb"] = accumulate_fn("rgb")
@@ -844,9 +866,12 @@ class UMHSModel:
             m["num_occupied_p99"] = jnp.percentile(
                 outputs["num_occupied_per_ray"].astype(jnp.float32), 99.0
             )
-        if "num_eval_s1_per_ray" in outputs:
-            m["num_eval_s1_per_batch"] = jnp.sum(outputs["num_eval_s1_per_ray"])
-            m["num_eval_s2_per_batch"] = jnp.sum(outputs["num_eval_s2_per_ray"])
+        i = 1
+        while f"num_eval_s{i}_per_ray" in outputs:
+            m[f"num_eval_s{i}_per_batch"] = jnp.sum(
+                outputs[f"num_eval_s{i}_per_ray"]
+            )
+            i += 1
         if "spectral" in self.config.method and "hs_image" in batch:
             mse_s = jnp.mean((outputs["spectral"] - batch["hs_image"]) ** 2)
             m["psnr_spectral"] = -10.0 * jnp.log10(jnp.maximum(mse_s, 1e-12))
