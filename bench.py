@@ -13,10 +13,13 @@ Budget-guarded: the whole run targets UMHS_BENCH_BUDGET_S wall-clock seconds
 training advances in slices, each slice's throughput is recorded, and a
 watchdog thread emits the best measurement and exits 0 if the main thread
 is still stuck in a compile/dispatch when the deadline arrives. Shapes are
-deterministic across runs (one scheduled adapt, no periodic re-adapts,
+deterministic across runs (scheduled adapts only, no periodic re-adapts,
 fixed seeds) and the synthetic scene is cached on disk, so the persistent
 XLA compilation cache (~/.cache/jax_comp) turns repeat runs' compiles into
-cache hits and repeat runs finish well inside the budget.
+cache hits. Repeat runs of identical code also restore the deterministic
+post-warmup (step-544) trainer state from ~/.cache (see _warm_state_dir)
+and spend the whole budget inside the measured steady-state window; the
+measurement itself is unaffected — warmup steps were never counted.
 
 Baseline: the reference publishes no numbers (BASELINE.md). We anchor
 vs_baseline to an estimated 150k rays/s for the reference stack
@@ -92,6 +95,39 @@ def _watchdog() -> None:
         sys.stderr.flush()
         emit(_STATE["best"])
         os._exit(0)
+
+
+def _warm_state_dir() -> Path:
+    """Cache dir for the post-warmup (step-544) trainer checkpoint, keyed
+    by the content hash of all framework sources + bench.py + the bench
+    env knobs. Training is deterministic (fixed seeds, cached scene), so a
+    prior run's step-544 state is bit-identical to re-running warmup —
+    restoring it spends the driver's wall-clock budget on the steady-state
+    measurement window instead of the (unmeasured) warmup phase. Any code
+    or knob change invalidates the key and warmup re-runs from scratch."""
+    import hashlib
+
+    h = hashlib.sha256()
+    root = Path(__file__).resolve().parent
+    for p in sorted((root / "umhs_tpu").rglob("*.py")) + [root / "bench.py"]:
+        h.update(p.read_bytes())
+    for k in ("UMHS_BENCH_INTERP", "UMHS_BENCH_STAGES", "UMHS_BENCH_FUSE"):
+        h.update(f"{k}={os.environ.get(k, '')};".encode())
+    base = Path.home() / ".cache" / "umhs_tpu"
+    d = base / f"bench_state_{h.hexdigest()[:16]}"
+    # keep disk bounded: drop all but the most recent other key
+    try:
+        others = sorted(
+            (p for p in base.glob("bench_state_*") if p != d),
+            key=lambda p: p.stat().st_mtime,
+        )
+        for stale in others[:-1]:
+            import shutil
+
+            shutil.rmtree(stale, ignore_errors=True)
+    except OSError:
+        pass
+    return d
 
 
 def _cached_dataset(scene_cfg) -> Path:
@@ -230,6 +266,23 @@ def main():
     warmup_until = 512 + 32  # last adapt boundary + settle/compile slack
     measured_rays, measured_s, measured_steps = 0, 0.0, 0
 
+    # deterministic warm-state restore (see _warm_state_dir): skip straight
+    # to the measured steady-state phase when a prior run of THIS exact
+    # code+config already produced the step-544 state
+    wdir = _warm_state_dir()
+    warm_restored = False
+    if (wdir / f"step-{warmup_until:09d}").exists():
+        try:
+            trainer.load_checkpoint(wdir)
+            warm_restored = True
+            print(
+                f"# warm state restored at step {trainer.step} "
+                f"({time.time() - T_PROC:.1f}s)",
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001 — fall back to full warmup
+            print(f"# warm state restore failed: {e!r}", file=sys.stderr)
+
     try:
         while trainer.step < max_steps and remaining() > EMIT_MARGIN_S:
             steady = trainer.step >= warmup_until
@@ -250,6 +303,16 @@ def main():
                 f"{rps:,.0f} rays/s (budget left {remaining():.0f}s)",
                 file=sys.stderr,
             )
+            if (
+                trainer.step == warmup_until
+                and not warm_restored
+                and remaining() > 45.0
+            ):
+                try:
+                    trainer.save_checkpoint(directory=wdir)
+                    print("# warm state saved", file=sys.stderr)
+                except Exception as e:  # noqa: BLE001
+                    print(f"# warm state save failed: {e!r}", file=sys.stderr)
             # enough steady-state signal -> stop early, leave room for eval
             if measured_steps >= 288 and remaining() < BUDGET_S * 0.25:
                 break

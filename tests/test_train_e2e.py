@@ -159,6 +159,11 @@ def test_dynamic_state_survives_resume(scene_dir, tmp_path, monkeypatch):
     t2.setup()
     t2.load_checkpoint(trainer.checkpoint_dir)
     assert (t2._dyn_rays, t2._dyn_march.num_samples, t2._dyn_budgets) == adapted
+    # the sampling stream resumes where it left off (rng rides the
+    # checkpoint) instead of replaying the setup seed's batches
+    assert np.array_equal(
+        np.asarray(t2.state["rng"]), np.asarray(trainer.state["rng"])
+    )
     t2.train(num_iterations=80)  # continues with the adapted shapes
     assert t2.step == 80
 

@@ -770,14 +770,18 @@ class Trainer:
     # ------------------------------------------------------------------
     # checkpointing (orbax)
     # ------------------------------------------------------------------
-    def save_checkpoint(self):
+    def save_checkpoint(self, directory: Optional[Path] = None):
         import orbax.checkpoint as ocp
 
-        path = (self.checkpoint_dir / f"step-{self.step:09d}").absolute()
+        ckpt_dir = Path(directory) if directory is not None else self.checkpoint_dir
+        path = (ckpt_dir / f"step-{self.step:09d}").absolute()
         ckpt = {
             "params": self.state["params"],
             "opt_state": self.state["opt_state"],
             "occ": self.state["occ"],
+            # sampling stream rides along: a resume continues the stream
+            # instead of replaying the setup seed's batches
+            "rng": self.state["rng"],
         }
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(path, ckpt, force=True)
@@ -795,7 +799,7 @@ class Trainer:
                     f,
                 )
         if self.config.save_only_latest_checkpoint:
-            for p in sorted(self.checkpoint_dir.glob("step-*")):
+            for p in sorted(ckpt_dir.glob("step-*")):
                 if p.name != f"step-{self.step:09d}":
                     import shutil
 
@@ -814,11 +818,21 @@ class Trainer:
             "params": self.state["params"],
             "opt_state": self.state["opt_state"],
             "occ": self.state["occ"],
+            "rng": self.state["rng"],
         }
         with ocp.PyTreeCheckpointer() as ckptr:
-            restored = ckptr.restore(path, template)
+            try:
+                restored = ckptr.restore(path, template)
+            except Exception:
+                # legacy checkpoints predate the rng leaf
+                template.pop("rng")
+                restored = ckptr.restore(path, template)
         self.state.update(restored)
         self.state["step"] = jnp.asarray(load_step, jnp.int32)
+        if self.mesh is not None:
+            # restored arrays carry file/host shardings; re-replicate so
+            # the donated train chunk sees the expected mesh layout
+            self.state = put_replicated(self.state, self.mesh)
         self.step = load_step
         dyn_path = path / "dynamic_batch.json"
         if dyn_path.exists():
