@@ -35,6 +35,10 @@ def main():
                     choices=["tetrahedral", "trilinear"])
     ap.add_argument("--image-size", type=int, default=512)
     ap.add_argument("--views", type=int, default=30)
+    ap.add_argument("--seed", type=int, default=42,
+                    help="trainer seed (init + sampling streams); the scene "
+                         "itself is seed-independent, so varying this "
+                         "measures run-to-run quality variance")
     args = ap.parse_args()
 
     import jax
@@ -81,6 +85,7 @@ def main():
             # ~4096 once the grid converges (mean eval samples/ray ~6),
             # adapting only the compact budgets and S to the occupancy.
             target_num_samples=24576,
+            seed=args.seed,
             optimizer=OptimizerConfig(
                 lr=2e-2, eps=1e-15, lr_final=1e-5, max_steps=args.steps
             ),
@@ -126,6 +131,7 @@ def main():
             "grid": "128^3 x 4, cone 0.004",
             "batch_rays": 4096,
             "lr": "2e-2 -> 1e-5 exp",
+            "seed": args.seed,
         },
         "train_wall_clock_s": round(train_s, 1),
         "setup_s": round(setup_s, 1),
