@@ -222,3 +222,29 @@ class TestLPIPS:
         finally:
             mu._LPIPS_CACHE.clear()
             mu.LPIPS_VARIANT = None
+
+
+def test_bench_warm_state_key(monkeypatch, tmp_path):
+    """The bench's warm-state cache key tracks code content + bench knobs:
+    same inputs -> same dir; any knob change -> different dir (stale state
+    must never be restored into changed code)."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+
+    monkeypatch.setenv("HOME", str(tmp_path))
+    monkeypatch.delenv("UMHS_BENCH_STAGES", raising=False)
+    d1 = bench._warm_state_dir()
+    assert d1 == bench._warm_state_dir()  # deterministic
+    monkeypatch.setenv("UMHS_BENCH_STAGES", "8,16")
+    d2 = bench._warm_state_dir()
+    assert d1 != d2
+    # pruning keeps at most one stale sibling
+    for name in ("bench_state_aaa", "bench_state_bbb", "bench_state_ccc"):
+        (tmp_path / ".cache" / "umhs_tpu" / name).mkdir(parents=True)
+    bench._warm_state_dir()
+    left = sorted(
+        p.name for p in (tmp_path / ".cache" / "umhs_tpu").glob("bench_state_*")
+    )
+    assert len(left) == 1, left
