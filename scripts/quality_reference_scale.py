@@ -39,7 +39,24 @@ def main():
                     help="trainer seed (init + sampling streams); the scene "
                          "itself is seed-independent, so varying this "
                          "measures run-to-run quality variance")
+    ap.add_argument("--bands", type=int, default=21,
+                    help="spectral bands: 21 = NeSpoF envelope "
+                         "(/root/reference/data/spec2rgb.py:142), 141 = "
+                         "Bayspec envelope (endmembers_hotdog.npy is 4x141)")
+    ap.add_argument("--wl-start", type=float, default=None)
+    ap.add_argument("--wl-step", type=float, default=None)
+    ap.add_argument("--hs-dtype", default=None,
+                    choices=[None, "float32", "bfloat16"],
+                    help="HS cube staging dtype (bfloat16 halves HBM for "
+                         "141-band scenes, the production Bayspec setting)")
     args = ap.parse_args()
+    # Bayspec envelope defaults: 400-1000 nm over 141 bands
+    if args.wl_start is None:
+        args.wl_start = 450.0 if args.bands == 21 else 400.0
+    if args.wl_step is None:
+        args.wl_step = 10.0 if args.bands == 21 else (600.0 / max(args.bands - 1, 1))
+    if args.hs_dtype is None and args.bands > 64:
+        args.hs_dtype = "bfloat16"
 
     import jax
 
@@ -62,9 +79,9 @@ def main():
         num_views_train=args.views,
         num_views_eval=4,
         image_size=args.image_size,
-        num_bands=21,
-        wavelength_start=450.0,
-        wavelength_step=10.0,
+        num_bands=args.bands,
+        wavelength_start=args.wl_start,
+        wavelength_step=args.wl_step,
         num_spheres=5,
     )
     root = write_dataset("scene", scene)
@@ -109,6 +126,7 @@ def main():
             dataparser=DataParserConfig(data=root, num_classes=6),
             train_num_rays_per_batch=4096,
             eval_num_rays_per_batch=4096,
+            **({"hs_dtype": args.hs_dtype} if args.hs_dtype else {}),
         ),
         num_classes=6,
     ).setup()
@@ -125,7 +143,8 @@ def main():
         "config": {
             "steps": args.steps,
             "image_size": args.image_size,
-            "bands": 21,
+            "bands": args.bands,
+            "hs_dtype": args.hs_dtype or "float32",
             "num_classes": 6,
             "hash": f"L16xF2 2^19 ({args.interp})",
             "grid": "128^3 x 4, cone 0.004",
