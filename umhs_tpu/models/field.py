@@ -64,6 +64,13 @@ class FieldConfig:
     use_average_appearance_embedding: bool = False
     temperature: float = 0.2
     pred_specular: bool = False
+    # Opt-in warmup ramp on the specular residual gate: s1 *= clip(step/N, 0, 1)
+    # over the first N train steps. Closes a seed-dependent early-training
+    # local minimum where the view-dependent residual absorbs the diffuse
+    # signal (spectral = spec + s1*specular, reference umhs_field.py:251-258)
+    # and training stalls at loss~0.04; see docs/PERFORMANCE.md "Early-training
+    # specular trap". 0 (default) = reference behaviour, no ramp.
+    specular_ramp_steps: int = 0
     pred_dino: bool = False
     dino_dim: int = 128
     use_scene_contraction: bool = True
@@ -257,6 +264,7 @@ def field_outputs(
     camera_indices: jnp.ndarray,
     geo_feat: jnp.ndarray,
     train: bool = True,
+    step: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Colour/spectral heads at flat sample positions.
 
@@ -265,6 +273,8 @@ def field_outputs(
         directions: (N, 3) unit view directions.
         camera_indices: (N,) int32 camera index per sample.
         geo_feat: (N, geo_feat_dim) from field_density.
+        step: traced train-step counter; only used by the opt-in specular
+            warmup ramp (cfg.specular_ramp_steps > 0).
 
     Returns dict with (per method) keys: 'rgb' | 'spectral', 'spectral2',
     'specular', 'abundances', 'dino'.
@@ -290,6 +300,13 @@ def field_outputs(
         if cfg.pred_specular:
             logits, s1 = logits[..., : cfg.num_classes], logits[..., cfg.num_classes :]
             s1 = jax.nn.sigmoid(s1)  # (N, 1)
+            if cfg.specular_ramp_steps > 0 and step is not None:
+                # trace-time gated (default off -> HLO identical): fade the
+                # residual in so the diffuse unmixing path fits first
+                ramp = jnp.clip(
+                    jnp.asarray(step, s1.dtype) / cfg.specular_ramp_steps, 0.0, 1.0
+                )
+                s1 = s1 * ramp
         abundances = jax.nn.softmax(logits / cfg.temperature, axis=-1)  # (N, K)
 
         endmembers = params["endmembers"]  # (K, B)

@@ -98,6 +98,8 @@ class ModelConfig:
     temperature: float = 0.2
     pred_dino: bool = False
     pred_specular: bool = False
+    # opt-in specular-residual warmup ramp (see FieldConfig.specular_ramp_steps)
+    specular_ramp_steps: int = 0
     load_vca: bool = False
     eval_num_rays_per_chunk: int = 4096
     # TPU static-shape marching budget (replaces nerfacc's dynamic packing)
@@ -214,6 +216,7 @@ class UMHSModel:
             num_images=num_images,
             temperature=config.temperature,
             pred_specular=config.pred_specular,
+            specular_ramp_steps=config.specular_ramp_steps,
             pred_dino=config.pred_dino,
             use_scene_contraction=not config.disable_scene_contraction,
             aabb_min=aabb_min,
@@ -319,7 +322,9 @@ class UMHSModel:
         """
         cfg = self.config
         if cfg.sampler == "proposal":
-            return self._forward_proposal(params, rays, rng=rng, train=train)
+            return self._forward_proposal(
+                params, rays, rng=rng, train=train, step=step
+            )
         march_cfg = march_config or self.march_config
         occ_binaries = occ_state["binaries"]
         # nerfacc semantics: effective alpha threshold is
@@ -444,7 +449,7 @@ class UMHSModel:
                 density_c, geo_c = field_density(params, self.field_config, pos_c)
                 heads_c = field_outputs(
                     params, self.field_config, pos_c, dirs_c, cam_c, geo_c,
-                    train=train,
+                    train=train, step=step,
                 )  # dict of (Bs, C)
 
                 if cfg.use_gradient_scaling:
@@ -541,7 +546,7 @@ class UMHSModel:
             flat_cam = jnp.broadcast_to(cam_idx[:, None], (R, S)).reshape(-1)
             heads = field_outputs(
                 params, self.field_config, flat_pos, flat_dirs, flat_cam,
-                geo_feat, train=train,
+                geo_feat, train=train, step=step,
             )
             heads = {k: v.reshape(R, S, -1) for k, v in heads.items()}
 
@@ -636,6 +641,7 @@ class UMHSModel:
         rays: Dict[str, jnp.ndarray],
         rng: Optional[jax.Array] = None,
         train: bool = True,
+        step: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
         """nerfacto-style forward: uniform s-bins -> proposal nets with PDF
         resampling -> main field on the final bins. All shapes static; bins
@@ -694,7 +700,7 @@ class UMHSModel:
         flat_cam = jnp.broadcast_to(cam_idx[:, None], (R, S)).reshape(-1)
         heads = field_outputs(
             params, self.field_config, flat_pos, flat_dirs, flat_cam,
-            geo_feat, train=train,
+            geo_feat, train=train, step=step,
         )
         heads = {k: v.reshape(R, S, -1) for k, v in heads.items()}
         if cfg.use_gradient_scaling:
