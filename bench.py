@@ -9,17 +9,30 @@ temperature 0.4; 128 bands per BASELINE.md's "rays/sec/chip on 128-band
 hotdog" metric).
 
 Budget-guarded: the whole run targets UMHS_BENCH_BUDGET_S wall-clock seconds
-(default 430, measured from process start) and ALWAYS prints its JSON line —
-training advances in slices, each slice's throughput is recorded, and a
-watchdog thread emits the best measurement and exits 0 if the main thread
-is still stuck in a compile/dispatch when the deadline arrives. Shapes are
-deterministic across runs (scheduled adapts only, no periodic re-adapts,
-fixed seeds) and the synthetic scene is cached on disk, so the persistent
-XLA compilation cache (~/.cache/jax_comp) turns repeat runs' compiles into
-cache hits. Repeat runs of identical code also restore the deterministic
-post-warmup (step-544) trainer state from ~/.cache (see _warm_state_dir)
-and spend the whole budget inside the measured steady-state window; the
-measurement itself is unaffected — warmup steps were never counted.
+(default 500, measured from process start) and ALWAYS prints its JSON line —
+training advances in slices, each slice's throughput is recorded (warmup
+slices included, as a floor), and a watchdog thread emits the best
+measurement and exits 0 if the main thread is still stuck in a
+compile/dispatch when the deadline arrives.
+
+COLD-machine delivery (round-4 fix; the r2/r3 artifacts scored zero because
+one cold XLA backend compile of the scanned train chunk exceeded the whole
+driver budget): the trainer now compiles every new chunk shape in two tiers
+(engine/trainer._ChunkExec) — a fast exec_time_optimization_effort=-1.0
+executable in ~45-55 s (vs ~400 s default; measured, docs/PERFORMANCE.md
+round 4) that starts training immediately. The first slice therefore lands
+a real nonzero rays/s measurement ~3 min into a fully cold run (empty
+~/.cache/jax_comp, no warm state), and each adapted shape escalates the
+recorded best; the default-effort executables (1.53x faster at runtime)
+compile concurrently in the background and hot-swap in.
+
+Repeat runs get faster, not just safe: shapes are deterministic across runs
+(scheduled adapts only, fixed seeds), the synthetic scene is cached on
+disk, and the persistent XLA compilation cache (~/.cache/jax_comp) turns
+every compile into a cache hit; repeat runs of identical code also restore
+the deterministic post-warmup trainer state from ~/.cache (see
+_warm_state_dir) and spend the whole budget inside the measured
+steady-state window. Warmup steps are never counted either way.
 
 Baseline: the reference publishes no numbers (BASELINE.md). We anchor
 vs_baseline to an estimated 150k rays/s for the reference stack
@@ -116,6 +129,8 @@ def _warm_state_dir() -> Path:
         "UMHS_BENCH_STAGES",
         "UMHS_BENCH_FUSE",
         "UMHS_BENCH_ADAPTS",
+        "UMHS_BENCH_PREFETCH",
+        "UMHS_BENCH_OCC_WARMUP",
     ):
         h.update(f"{k}={os.environ.get(k, '')};".encode())
     base = Path.home() / ".cache" / "umhs_tpu"
@@ -196,40 +211,64 @@ def main():
             mixed_precision=True,
             use_mesh=True,
             dynamic_batching=True,
-            # TWO scheduled adapts (exactly at the occupancy warmup boundary
-            # at 256, then after the grid has pruned) and no periodic
-            # re-adapts: exactly three compiled chunk shapes per run, and —
-            # with fixed seeds + synthetic data — bit-identical adapted
-            # shapes across runs, so the persistent compilation cache hits.
-            # Adapting exactly at 256 means every post-warmup (fused-occ)
-            # chunk runs at an adapted shape — the initial 4096-ray shape
-            # never needs a fused-variant compile. The second adapt matters
-            # for throughput: at step 256 the grid is still ~2x too dense,
-            # so the first adapt sizes the ray batch ~2x too small (19k
-            # rays vs the ~40k steady-state optimum). The third adapt
-            # replaces the second's *bootstrapped* stage-2 compact budget
-            # (unmeasured at step 368, padded to ~183k rows) with one sized
-            # from measured stage-2 demand (~57k rows by step 512) — each
-            # padded budget row costs real hash gathers + MLP lanes. The
-            # fourth adapt (step 768) captures the continued occupancy
-            # decay: by then measured stage-2 demand is ~8x below its
-            # step-512 sizing, so the re-adapt shrinks the tail budget and
-            # grows the ray batch at ~constant field cost (the production
-            # trainer does this continuously via adapt_every; the bench
-            # pins the same behaviour to fixed steps for shape determinism).
+            # FOUR scheduled adapts and no periodic re-adapts: a fixed
+            # ladder of compiled chunk shapes per run, and — with fixed
+            # seeds + synthetic data — bit-identical adapted shapes across
+            # runs, so the persistent compilation cache hits. The first
+            # decision sits at the occupancy warmup boundary (256); later
+            # ones track the grid's continued pruning (at 256 the grid is
+            # still ~2x too dense, so the first adapt sizes the ray batch
+            # ~2x too small; subsequent adapts replace bootstrapped stage
+            # budgets with measured demand and grow the ray batch at
+            # ~constant field cost — the production trainer does this
+            # continuously via adapt_every; the bench pins the behaviour to
+            # fixed steps for shape determinism). Decisions are spaced >
+            # adapt_prefetch_steps apart so each applies before the next
+            # decides; interim chunks stay unfused (the trainer reuses the
+            # warmup executable, see engine/trainer.py), so the initial
+            # 4096-ray shape never pays a fused-variant compile.
+            # the first decision sits at step 128, NOT the occupancy warmup
+            # boundary (256): the grid's occupied tail is already converged
+            # there (measured p99 96 at step 128 vs 92 at 256, mean
+            # samples/ray 11 vs 9.5 — cold-run logs, round 4), and deciding
+            # 128 steps earlier returns ~110 s of a cold run's budget to
+            # measured post-adapt slices
             adapt_steps=tuple(
                 int(x)
                 for x in os.environ.get(
-                    "UMHS_BENCH_ADAPTS", "256,368,512,768"
+                    "UMHS_BENCH_ADAPTS", "128,304,480,656"
                 ).split(",")
                 if x
             ),
             adapt_every=0,
+            # Non-blocking shape escalation (round-4 cold fix, part 2): each
+            # adapt DECIDES at its scheduled step and APPLIES 96 steps (6
+            # chunks of interim training) later, while the new shape's
+            # fast-tier executable compiles in a background thread (~50 s
+            # measured at adapted shapes). A cold run keeps measuring (and
+            # escalating best-so-far) through every compile instead of
+            # blocking on it; the adapt steps above are spaced > prefetch
+            # so no decision lands inside a pending window. 0 = blocking
+            # adapts (A/B arm).
+            adapt_prefetch_steps=int(os.environ.get("UMHS_BENCH_PREFETCH", "96")),
             # UMHS_BENCH_FUSE=0 disables occ-update fusion (A/B knob)
             fuse_occ_update=os.environ.get("UMHS_BENCH_FUSE", "1") != "0",
             # the bench drives train() in short slices; a checkpoint save at
             # every slice end would swamp the measurement window
             save_final=False,
+            # background default-effort compiles are safe: the compile
+            # service runs them CONCURRENTLY with later fast-tier compiles
+            # (measured 56 s fast compile while a 448 s default compile was
+            # in flight — docs/PERFORMANCE.md round 4). UMHS_BENCH_BG=0
+            # disables for A/B.
+            background_full_compile=os.environ.get("UMHS_BENCH_BG", "1") == "1",
+            # defer the ~400 s default-effort background compiles until a
+            # shape has served 15 chunks (240 steps): every ladder shape is
+            # retired in <= 11 chunks and never pays one, so the compile
+            # service stays free for the next shape's prefetch compile; only
+            # the post-ladder steady shape (which serves hundreds of chunks)
+            # gets the 1.53x-faster default-effort executable.
+            full_compile_defer_chunks=int(os.environ.get("UMHS_BENCH_DEFER", "15")),
             optimizer=OptimizerConfig(lr=2e-2, max_steps=10000),
         ),
         ModelConfig(
@@ -255,6 +294,12 @@ def main():
             # UMHS_BENCH_INTERP=trilinear for the tcnn-parity (8-corner)
             # interpolation row.
             hash_interpolation=os.environ.get("UMHS_BENCH_INTERP", "tetrahedral"),
+            # Warmup full-occ thinning: every 2nd due update is full during
+            # the 256-step warmup (8 full maps instead of nerfacc's 16, with
+            # cheap partial updates in between) — each full map costs ~7.3 s
+            # on-TPU, so this returns ~58 s of a cold run's budget to
+            # measurement. 1 = exact nerfacc warmup schedule (A/B arm).
+            occ_warmup_full_every=int(os.environ.get("UMHS_BENCH_OCC_WARMUP", "2")),
             # Three-stage exact termination is the default: boundaries
             # (8, 16) add an exact transmittance-termination checkpoint
             # after lane 8 — measured +40% sustained (88.4k -> 123.5k
@@ -284,10 +329,14 @@ def main():
     # the deadline interrupts before the steady-state window completes.
     # ------------------------------------------------------------------
     best_rps = 0.0
-    # last adapt boundary + settle/compile slack (adapts are scheduled on
-    # chunk boundaries; 32 steps of slack keeps the first measured slice
-    # clear of the post-adapt compile)
-    warmup_until = (max(trainer.config.adapt_steps) + 32 + 31) // 32 * 32
+    # last adapt APPLICATION boundary (decision + prefetch deferral) +
+    # settle slack, rounded up to the 32-step slice grid (the warm-state
+    # save keys on trainer.step == warmup_until exactly)
+    warmup_until = (
+        max(trainer.config.adapt_steps)
+        + trainer.config.adapt_prefetch_steps
+        + 32 + 31
+    ) // 32 * 32
     measured_rays, measured_s, measured_steps = 0, 0.0, 0
 
     # deterministic warm-state restore (see _warm_state_dir): skip straight

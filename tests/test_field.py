@@ -123,6 +123,51 @@ class TestSpectralHeads:
             atol=1e-5,
         )
 
+    def test_specular_ramp_gates_residual(self):
+        """specular_ramp_steps fades the residual linearly over the first N
+        steps (docs/PERFORMANCE.md 'Early-training specular trap'): at step 0
+        the residual is exactly 0, at N it matches the unramped output, and
+        at N/2 it is exactly half — computed in f32 regardless of the
+        compute dtype (ADVICE r3: a bf16 ramp quantises step/N to ~8 bits)."""
+        cfg = _cfg(specular_ramp_steps=100)
+        cfg_off = _cfg(specular_ramp_steps=0)
+        params = init_field_params(jax.random.PRNGKey(0), cfg)
+        n = 16
+        pos = jax.random.uniform(jax.random.PRNGKey(1), (n, 3), minval=-0.9, maxval=0.9)
+        dirs = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
+        cam = jnp.zeros(n, dtype=jnp.int32)
+        _, geo = field_density(params, cfg, pos)
+
+        def run(c, step):
+            return field_outputs(
+                params, c, pos, dirs, cam, geo,
+                step=jnp.asarray(step, jnp.int32) if step is not None else None,
+            )
+
+        full = run(cfg_off, 0)
+        at0 = run(cfg, 0)
+        at50 = run(cfg, 50)
+        at100 = run(cfg, 100)
+        at9999 = run(cfg, 9999)
+        nostep = run(cfg, None)  # step untraced (entry() path): no ramp
+        res_full = np.asarray(full["spectral"]) - np.asarray(full["spectral2"])
+        res0 = np.asarray(at0["spectral"]) - np.asarray(at0["spectral2"])
+        res50 = np.asarray(at50["spectral"]) - np.asarray(at50["spectral2"])
+        res100 = np.asarray(at100["spectral"]) - np.asarray(at100["spectral2"])
+        np.testing.assert_allclose(res0, 0.0, atol=1e-7)
+        np.testing.assert_allclose(res50, 0.5 * res_full, atol=1e-6)
+        np.testing.assert_allclose(res100, res_full, atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(at9999["spectral"]), np.asarray(full["spectral"]), atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(nostep["spectral"]), np.asarray(full["spectral"]), atol=1e-7
+        )
+        # diffuse path unaffected by the gate
+        np.testing.assert_allclose(
+            np.asarray(at0["spectral2"]), np.asarray(full["spectral2"]), atol=1e-7
+        )
+
     def test_vca_init_used(self):
         cfg = _cfg()
         em = np.random.default_rng(0).random((4, 21)).astype(np.float32)

@@ -179,6 +179,22 @@ class TestOccupancySchedule:
         due, full = model.occ_update_due(512)
         assert due and not full
 
+    def test_warmup_full_thinning(self):
+        """occ_warmup_full_every=k keeps every k-th due warmup update full
+        and demotes the rest to partial; post-warmup unaffected."""
+        model = _small_model(occ_warmup_full_every=2)
+        w = model.occ_config.warmup_steps
+        n = model.occ_config.update_interval
+        fulls = [s for s in range(0, w, n) if model.occ_update_due(s) == (True, True)]
+        partials = [s for s in range(0, w, n) if model.occ_update_due(s) == (True, False)]
+        assert fulls == list(range(0, w, 2 * n))
+        assert partials == list(range(n, w, 2 * n))
+        due, full = model.occ_update_due(w + n)
+        assert due and not full
+        # default (=1) is the exact nerfacc schedule: all warmup dues full
+        ref = _small_model()
+        assert all(ref.occ_update_due(s) == (True, True) for s in range(0, w, n))
+
     def test_update_occupancy_runs(self):
         model = _small_model()
         params, occ = model.init(jax.random.PRNGKey(0))
@@ -263,7 +279,10 @@ class TestStagedEval:
     (nerfacc sigma_fn semantics at stage granularity)."""
 
     def test_staged_budgets_match_single(self):
-        model = _small_model(stage_samples=4)
+        # stage_boundaries takes precedence over stage_samples when set
+        # (and defaults to (8, 16)); pin it empty to exercise the single
+        # stage_samples split
+        model = _small_model(stage_samples=4, stage_boundaries=())
         params, occ = model.init(jax.random.PRNGKey(0))
         occ = mark_all_occupied(occ)
         r = _rays(64)
@@ -281,7 +300,7 @@ class TestStagedEval:
     def test_three_stage_matches_two_stage(self):
         """An extra termination checkpoint (stage_boundaries) only removes
         provably-invisible evaluations — rendered outputs are unchanged."""
-        two = _small_model(stage_samples=4)
+        two = _small_model(stage_samples=4, stage_boundaries=())
         three = _small_model(stage_boundaries=(2, 4))
         assert three.active_stage_boundaries(16) == (2, 4)
         params, occ = two.init(jax.random.PRNGKey(0))
@@ -312,7 +331,7 @@ class TestStagedEval:
         # train a few steps is overkill: fake an opaque field by scaling
         # the density MLP's output bias enormously -> every sample opaque,
         # so stage 2 must evaluate ~nothing while renders stay finite
-        model = _small_model(stage_samples=4)
+        model = _small_model(stage_samples=4, stage_boundaries=())
         params, occ = model.init(jax.random.PRNGKey(0))
         occ = mark_all_occupied(occ)
         params["mlp_base"]["layers"][-1]["b"] = (

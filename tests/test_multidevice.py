@@ -169,18 +169,19 @@ def test_eval_forward_sharded_no_collectives():
     mesh = make_mesh()
     key = jax.random.PRNGKey(9)
 
+    step = jnp.zeros((), jnp.int32)
     fn = jax.jit(make_eval_forward(model, mesh))
-    lowered = fn.lower(params, occ, rays, key)
+    lowered = fn.lower(params, occ, rays, key, step)
     txt = lowered.compile().as_text()
     for coll in ("all-gather", "all-to-all", "collective-permute", "all-reduce"):
         assert coll not in txt, f"unexpected {coll} in sharded eval forward"
     # the ray axis really is partitioned across the 8 devices
     assert 'sharding={devices=[8' in lowered.as_text() or "data" in str(
-        jax.tree_util.tree_leaves(fn(params, occ, rays, key))[0].sharding
+        jax.tree_util.tree_leaves(fn(params, occ, rays, key, step))[0].sharding
     )
 
-    out_s = fn(params, occ, rays, key)
-    out_r = jax.jit(make_eval_forward(model, None))(params, occ, rays, key)
+    out_s = fn(params, occ, rays, key, step)
+    out_r = jax.jit(make_eval_forward(model, None))(params, occ, rays, key, step)
     for k in out_r:
         np.testing.assert_allclose(
             np.asarray(out_s[k]), np.asarray(out_r[k]), atol=2e-5, rtol=2e-4,

@@ -138,6 +138,41 @@ def test_dynamic_batch_adaptation(scene_dir, tmp_path, monkeypatch):
     assert np.isfinite(m["psnr"]) and m["psnr"] > 10
 
 
+def test_adapt_prefetch_defers_application(scene_dir, tmp_path, monkeypatch):
+    """adapt_prefetch_steps > 0: the adapt DECIDES its new shape at the
+    scheduled boundary but APPLIES it adapt_prefetch_steps later (the new
+    shape's executable compiles in the background in between), and the
+    decided shape matches the blocking path's — the deferral changes when,
+    not what."""
+    monkeypatch.chdir(tmp_path)
+    import dataclasses as dc
+
+    def build(prefetch_steps):
+        t = _trainer(scene_dir, tmp_path, method="rgb", iters=96)
+        t.config = dc.replace(
+            t.config, dynamic_batching=True, adapt_steps=(48,),
+            target_num_samples=8192, adapt_prefetch_steps=prefetch_steps,
+        )
+        return t.setup()
+
+    blocking = build(0)
+    blocking.train()
+    deferred = build(16)
+    applies = []
+    orig = deferred._apply_adapt
+    deferred._apply_adapt = lambda new: (applies.append(deferred.step), orig(new))[1]
+    deferred.train()
+    # applied exactly one chunk (16 steps) after the decision at 48
+    assert applies and applies[0] == 64, applies
+    # the decided shape is identical to the blocking path's
+    assert deferred._dyn_rays == blocking._dyn_rays
+    assert deferred._dyn_march.num_samples == blocking._dyn_march.num_samples
+    assert deferred._dyn_budgets == blocking._dyn_budgets
+    # the prefetched executable was registered before application
+    m = deferred.eval_batch()
+    assert np.isfinite(m["psnr"]) and m["psnr"] > 10
+
+
 def test_dynamic_state_survives_resume(scene_dir, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     import dataclasses as dc
@@ -169,8 +204,9 @@ def test_dynamic_state_survives_resume(scene_dir, tmp_path, monkeypatch):
 
 
 def test_periodic_readapt_resizes_budget(scene_dir, tmp_path, monkeypatch):
-    """adapt_every re-runs _adapt_batch when mean samples/ray drifts
-    after the one-shot adapt steps (occupancy keeps pruning past them)."""
+    """adapt_every re-runs the adapt computation when mean samples/ray
+    drifts after the one-shot adapt steps (occupancy keeps pruning past
+    them)."""
     monkeypatch.chdir(tmp_path)
     import dataclasses as dc
 
@@ -184,8 +220,8 @@ def test_periodic_readapt_resizes_budget(scene_dir, tmp_path, monkeypatch):
     )
     trainer.setup()
     calls = []
-    orig = trainer._adapt_batch
-    trainer._adapt_batch = lambda *a, **kw: (calls.append(trainer.step), orig(*a, **kw))[1]
+    orig = trainer._compute_adapt
+    trainer._compute_adapt = lambda *a, **kw: (calls.append(trainer.step), orig(*a, **kw))[1]
     trainer.train(num_iterations=32)
     assert calls and calls[0] == 16  # one-shot adapt fired
     n_scheduled = len(calls)
@@ -326,6 +362,51 @@ def test_fused_occ_update_parity(scene_dir, tmp_path, monkeypatch):
     assert (bin_a == bin_b).mean() > 0.995, (bin_a.mean(), bin_b.mean())
     np.testing.assert_allclose(w_a, w_b, rtol=1e-3, atol=1e-4)
     assert abs(psnr_a - psnr_b) < 0.5, (psnr_a, psnr_b)
+
+
+def test_specular_trap_regression(tmp_path, monkeypatch):
+    """Fixed-seed regression on the early-training specular trap
+    (docs/PERFORMANCE.md): at seed 42 with pred_specular the view-dependent
+    residual can absorb the diffuse signal and stall training at total loss
+    ~0.04 (the round-3 trilinear bench arm stalled at train PSNR ~21 this
+    way; reference formula umhs_field.py:251-258 has no guard). With the
+    default specular_ramp_steps warmup the trapping configuration must
+    converge well past the stall plateau within 240 steps."""
+    monkeypatch.chdir(tmp_path)
+    scene = SyntheticSceneConfig(
+        num_views_train=10, num_views_eval=2, image_size=64,
+        num_bands=32, num_spheres=6,
+    )
+    root = tmp_path / "trap_scene"
+    write_dataset(root, scene)
+    trainer = Trainer(
+        TrainerConfig(
+            max_num_iterations=240, steps_per_save=10**9,
+            steps_per_eval_batch=10**9, steps_per_eval_image=10**9,
+            steps_per_log=80, output_dir=tmp_path / "outputs",
+            experiment_name="trap", mixed_precision=False, use_mesh=False,
+            seed=42, save_final=False,
+            optimizer=OptimizerConfig(lr=2e-2, eps=1e-15, max_steps=10000),
+        ),
+        ModelConfig(
+            method="rgb+spectral", pred_specular=True, load_vca=True,
+            temperature=0.4, grid_resolution=32, grid_levels=1, max_res=256,
+            log2_hashmap_size=15, num_candidates=256, max_samples_per_ray=32,
+            cone_angle=0.0, eval_num_rays_per_chunk=1024,
+            hash_interpolation="tetrahedral",
+            # specular_ramp_steps left at its default: the default config
+            # must not fall into the trap
+        ),
+        DataManagerConfig(
+            dataparser=DataParserConfig(data=root, num_classes=6),
+            train_num_rays_per_batch=1024, eval_num_rays_per_batch=512,
+        ),
+        num_classes=6,
+    ).setup()
+    assert trainer.model_config.specular_ramp_steps > 0  # default is ON
+    m = trainer.train()
+    # the trap plateaus at ~0.04; healthy convergence is well under 0.02
+    assert float(m["loss/total"]) < 0.02, m["loss/total"]
 
 
 def test_dino_head_trains_and_cluster_gate(scene_dir, tmp_path, monkeypatch):

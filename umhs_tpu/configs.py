@@ -91,6 +91,7 @@ _ALIASES = {
     "steps_per_save": "trainer.steps_per_save",
     "steps_per_eval_batch": "trainer.steps_per_eval_batch",
     "steps_per_eval_image": "trainer.steps_per_eval_image",
+    "steps_per_log": "trainer.steps_per_log",
     "save_only_latest_checkpoint": "trainer.save_only_latest_checkpoint",
     "mixed_precision": "trainer.mixed_precision",
     "gradient_accumulation_steps": "trainer.gradient_accumulation_steps",

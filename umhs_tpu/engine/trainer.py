@@ -109,7 +109,172 @@ class TrainerConfig:
     # 8.4M-probe full variant into the scanned fwd+bwd chunk was measured
     # to blow up XLA compile time catastrophically (docs/PERFORMANCE.md).
     fuse_occ_update: bool = True
+    # Tiered XLA compilation of the train chunk (round-4 cold-start fix).
+    # The scanned fwd+bwd chunk hits a pathological XLA pass once wrapped in
+    # a while loop: measured 391-410 s backend compile at ANY scan length
+    # >= 2 (vs 29 s at length 1, where XLA unrolls the loop away; full
+    # unrolling of 16 steps is 601 s — worse). Lowering XLA's
+    # exec_time_optimization_effort to -1.0 compiles the same chunk in 55 s.
+    # Every new chunk shape is first compiled at `fast_compile_effort` so
+    # training starts ~7x sooner; with `background_full_compile` the
+    # default-effort executable also compiles in a daemon thread and is
+    # hot-swapped in when ready (both phases produce identical trajectories
+    # — same HLO program, different backend scheduling). None disables the
+    # fast tier. Tiering engages only on TPU backends; CPU (tests) uses the
+    # plain jit path. Measurements: docs/PERFORMANCE.md round 4.
+    fast_compile_effort: Optional[float] = -1.0
+    background_full_compile: bool = True
+    # chunk dispatches a shape must serve before its default-effort
+    # background compile starts (see _ChunkExec deferral): shapes retired
+    # by dynamic-batch adaptation within the window never pay the ~400 s
+    # server-side compile (which would also contend with the next shape's
+    # prefetch compile in the compile service)
+    full_compile_defer_chunks: int = 3
+    # Non-blocking dynamic-batch adaptation: when > 0, an adapt DECIDES its
+    # new (rays, samples/ray, stage budgets) at the scheduled step but
+    # APPLIES them `adapt_prefetch_steps` later; in between, training
+    # continues at the old shape while the new shape's chunk executable
+    # compiles in a background thread (the compile service runs compiles
+    # concurrently with in-flight dispatches). Application is pinned to the
+    # fixed later boundary whether or not the compile has landed (it blocks
+    # if not), so the trajectory stays deterministic — a cold machine and a
+    # compile-cache-warm machine train the identical sequence of shapes at
+    # the identical steps. 0 = decide and apply at the same boundary
+    # (blocking compile), the previous behaviour. One decision is in
+    # flight at a time: a scheduled adapt step that falls inside a pending
+    # window is skipped (space adapt_steps > adapt_prefetch_steps apart),
+    # and periodic drift re-adapts simply fire at the next crossing.
+    adapt_prefetch_steps: int = 0
     optimizer: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
+
+
+class _ChunkExec:
+    """Two-tier compiled executable for one train-chunk shape.
+
+    Tier 1 ("fast"): AOT-compiled with a lowered XLA
+    exec_time_optimization_effort — available in ~55 s instead of ~410 s at
+    bench shapes (docs/PERFORMANCE.md round 4), so a cold start reaches its
+    first optimizer step in minutes, not tens of minutes. Tier 2 ("full"):
+    the default-effort executable, compiled from the SAME lowering in a
+    daemon thread (the backend compile is an RPC/GIL-releasing call) and
+    hot-swapped in once ready. Both tiers execute the identical HLO program
+    — only backend scheduling differs — so the training trajectory is
+    unchanged by the swap.
+
+    The background compile is DEFERRED until the shape has served
+    `defer_calls` chunk dispatches: dynamic-batch adaptation retires early
+    shapes within a few chunks, and a 400 s server-side compile of a
+    retired shape would also queue ahead of the next shape's fast compile.
+    A shape that survives the deferral window is the one training will sit
+    in, so the full-effort executable (measured 1.53x faster at bench
+    shapes) is worth its compile.
+
+    With `prefetch=True` the fast-tier build (trace + backend compile) runs
+    in a background thread so training can CONTINUE at the current shape
+    while the next adapted shape compiles (the compile service runs compiles
+    concurrently — measured 56 s fast compile while a 448 s default compile
+    was in flight). The first `__call__` joins the build thread, so using
+    the executable before the build lands simply blocks — the training
+    trajectory is identical either way.
+
+    Falls back to the plain jit call path when the fast tier is disabled,
+    the backend rejects the option, or the backend is CPU (tests)."""
+
+    def __init__(self, jitted, example_args, fast_effort, background_full,
+                 defer_calls: int = 3, prefetch: bool = False,
+                 tag: str = ""):
+        self._jitted = jitted
+        self._fast = None
+        self._full = None
+        self._lowered = None
+        self._background_full = background_full
+        self._defer_calls = defer_calls
+        self._calls = 0
+        self._bg_started = False
+        self._build_thread = None
+        self._tag = tag
+        use_fast = (
+            fast_effort is not None and jax.default_backend() != "cpu"
+        )
+        if not use_fast:
+            return
+
+        def _build():
+            try:
+                t0 = time.time()
+                self._lowered = jitted.lower(*example_args)
+                t1 = time.time()
+                self._fast = self._lowered.compile(
+                    {"exec_time_optimization_effort": float(fast_effort)}
+                )
+                print(
+                    f"[trainer] fast-tier compile{self._tag}: "
+                    f"lower {t1 - t0:.0f}s + backend {time.time() - t1:.0f}s"
+                )
+            except Exception as e:  # noqa: BLE001 — unsupported option etc.
+                print(f"[trainer] fast-tier compile unavailable: {e!r}")
+                self._fast = None
+
+        if prefetch:
+            import threading
+
+            self._build_thread = threading.Thread(target=_build, daemon=True)
+            self._build_thread.start()
+        else:
+            _build()
+
+    def ready(self) -> bool:
+        """True once the (possibly prefetched) build has finished."""
+        return self._build_thread is None or not self._build_thread.is_alive()
+
+    def _start_background_full(self):
+        import threading
+
+        self._bg_started = True
+        lowered = self._lowered
+
+        def _bg():
+            try:
+                t0 = time.time()
+                full = lowered.compile()
+                self._full = full
+                print(
+                    f"[trainer] full-effort compile{self._tag}: "
+                    f"{time.time() - t0:.0f}s (hot-swapped)"
+                )
+            except Exception as e:  # noqa: BLE001
+                print(f"[trainer] background full compile failed: {e!r}")
+
+        threading.Thread(target=_bg, daemon=True).start()
+
+    def __call__(self, *args):
+        if self._build_thread is not None:
+            t0 = time.time()
+            self._build_thread.join()
+            self._build_thread = None
+            if time.time() - t0 > 1.0:
+                print(
+                    f"[trainer] joined prefetched build{self._tag}: "
+                    f"waited {time.time() - t0:.0f}s"
+                )
+        if self._fast is None:
+            return self._jitted(*args)
+        self._calls += 1
+        if (
+            self._background_full
+            and not self._bg_started
+            and self._calls >= self._defer_calls
+        ):
+            self._start_background_full()
+        ex = self._full or self._fast
+        if self._calls == 1:
+            t0 = time.time()
+            out = ex(*args)
+            dt = time.time() - t0
+            if dt > 5.0:
+                print(f"[trainer] first dispatch{self._tag}: {dt:.0f}s")
+            return out
+        return ex(*args)
 
 
 def make_lr_schedule(cfg: OptimizerConfig):
@@ -329,19 +494,42 @@ class Trainer:
 
         return jax.jit(chunk, donate_argnums=(0,))
 
-    def _build_occ_update(self):
-        """Separate jitted occupancy update; donates the occ-state buffers
-        (binaries + EMA grids + row/packed tables, ~110 MB at the reference
-        128^3 x 4 config) so the update writes in place instead of
-        allocating a second copy."""
+    def _build_occ_update(self, full: bool):
+        """Separate jitted occupancy update (one jit per `full` variant);
+        donates the occ-state buffers (binaries + EMA grids + row/packed
+        tables, ~110 MB at the reference 128^3 x 4 config) so the update
+        writes in place instead of allocating a second copy."""
         model = self.model
         base_key = jax.random.PRNGKey(self.config.seed + 2)
 
-        def update(occ, params, step, full):
+        def update(occ, params, step):
             rng = jax.random.fold_in(base_key, step)
             return model.update_occupancy(occ, params, rng, full=full)
 
-        return jax.jit(update, static_argnames=("full",), donate_argnums=(0,))
+        return jax.jit(update, donate_argnums=(0,))
+
+    def _occ_update(self, full: bool, prefetch: bool = False):
+        """Tiered executable for the occupancy update. The full (warmup)
+        variant's chunked density map hits the same while-loop compile
+        pathology as the train chunk: measured 411 s default-effort backend
+        compile vs 12 s at effort -1.0 (docs/PERFORMANCE.md round 4). The
+        full variant never gets a background default-effort compile — it
+        only runs during the 256-step occupancy warmup, which is over long
+        before a 411 s compile could land; the partial variant (used when
+        fuse_occ_update=False) runs for the whole training and does."""
+        if not hasattr(self, "_occ_update_tiers"):
+            self._occ_update_tiers = {}
+        if full not in self._occ_update_tiers:
+            self._occ_update_tiers[full] = _ChunkExec(
+                self._build_occ_update(full),
+                (self.state["occ"], self.state["params"], 0),
+                self.config.fast_compile_effort,
+                self.config.background_full_compile and not full,
+                defer_calls=self.config.full_compile_defer_chunks,
+                prefetch=prefetch,
+                tag=f" occ_update(full={full})",
+            )
+        return self._occ_update_tiers[full]
 
     def _build_forward(self, train: bool = False):
         """Inference forward, ray-sharded over the mesh (eval renders the
@@ -350,7 +538,7 @@ class Trainer:
         fwd = make_eval_forward(self.model, self.mesh)
 
         def forward(state, rays, rng):
-            return fwd(state["params"], state["occ"], rays, rng)
+            return fwd(state["params"], state["occ"], rays, rng, state["step"])
 
         return jax.jit(forward, static_argnames=())
 
@@ -367,7 +555,6 @@ class Trainer:
         cfg = self.config
         interval = self.model.occ_config.update_interval
         if self._train_step_fn is None:
-            self._occ_update_fn = self._build_occ_update()
             self._chunk_fns = {}
             self._dyn_rays = self.datamanager.config.train_num_rays_per_batch
             self._dyn_march = self.model.march_config
@@ -376,8 +563,21 @@ class Trainer:
             # _dyn_budgets: [whole-batch] unstaged, or one entry per
             # termination stage (len(active_stage_boundaries)+1) once sized
             self._dyn_budgets = [self._dyn_rays * self._dyn_march.num_samples]
+            self._pending_adapt = None  # decided-but-not-yet-applied resize
             self._train_step_fn = True  # built lazily per (n, rays, march)
         total_iters = num_iterations or cfg.max_num_iterations
+        if (
+            self.step == 0
+            and not self._chunk_fns
+            and cfg.fast_compile_effort is not None
+            and jax.default_backend() != "cpu"
+        ):
+            # cold start: kick off the first chunk's and both occ-update
+            # variants' builds CONCURRENTLY before the loop needs them —
+            # their backend compiles overlap in the compile service
+            # (~40-50 s saved of a cold start's serial 52+12+31 s;
+            # docs/PERFORMANCE.md round 4)
+            self._warmstart_builds(total_iters)
 
         def crossed(period: int) -> bool:
             """True when a multiple of `period` lies in (step - last_n, step]."""
@@ -389,26 +589,56 @@ class Trainer:
 
         while self.step < total_iters:
             step = self.step
+            # apply a pending (prefetch-compiled) batch adaptation at its
+            # scheduled boundary — fixed-step application keeps the
+            # trajectory deterministic whether or not the background
+            # compile has already landed (the chunk call blocks if not)
+            if (
+                self._pending_adapt is not None
+                and step >= self._pending_adapt["apply_step"]
+            ):
+                self._apply_adapt(self._pending_adapt)
+                self._pending_adapt = None
             # BEFORE_TRAIN_ITERATION: occupancy grid EMA update. Steady-state
             # (partial) updates fuse into the chunk dispatch when enabled;
             # warmup FULL updates always go through the separate dispatch.
             due, full = self.model.occ_update_due(step)
-            fuse = due and not full and cfg.fuse_occ_update
+            # Fusion is for the steady state only. During warmup, thinned
+            # (partial) updates stay a separate dispatch so no fused chunk
+            # variant of the warmup shape is ever compiled; and while an
+            # adapt is pending (decided, background-compiling), the chunk
+            # variant (fused/unfused) is picked to REUSE an
+            # already-compiled executable of the current shape rather than
+            # block ~40-55 s compiling a variant of a shape about to be
+            # retired (post-warmup the unfused warmup executable exists;
+            # after a first adapt the fused adapted executable exists). The
+            # fused and unfused paths draw the same RNG stream at the same
+            # step, so the trajectory is unchanged by either choice
+            # (_build_train_chunk).
+            in_warmup = step < self.model.occ_config.warmup_steps
+            fuse = due and not full and cfg.fuse_occ_update and not in_warmup
+            if fuse and self._pending_adapt is not None:
+                fuse = self._chunk_key(step, total_iters, fuse=True) in getattr(
+                    self, "_chunk_fns", {}
+                )
             if due and not fuse:
-                self.state["occ"] = self._occ_update_fn(
-                    self.state["occ"], self.state["params"], step, full
+                self.state["occ"] = self._occ_update(full)(
+                    self.state["occ"], self.state["params"], step
                 )
 
-            n = min(interval - (step % interval), total_iters - step)
-            budget = (
-                tuple(self._dyn_budgets)
-                if len(self._dyn_budgets) > 1
-                else self._dyn_budgets[0]
-            )
-            key = (n, self._dyn_rays, self._dyn_march.num_samples, budget, fuse)
+            key = self._chunk_key(step, total_iters, fuse)
+            n, budget = key[0], key[3]
             if key not in self._chunk_fns:
-                self._chunk_fns[key] = self._build_train_chunk(
-                    n, self._dyn_rays, self._dyn_march, budget, fuse_occ=fuse
+                self._chunk_fns[key] = _ChunkExec(
+                    self._build_train_chunk(
+                        n, self._dyn_rays, self._dyn_march, budget,
+                        fuse_occ=fuse,
+                    ),
+                    (self.state, self.train_data, self.train_cam),
+                    cfg.fast_compile_effort,
+                    cfg.background_full_compile,
+                    defer_calls=cfg.full_compile_defer_chunks,
+                    tag=f" chunk{key}",
                 )
             self.state, metrics = self._chunk_fns[key](
                 self.state, self.train_data, self.train_cam
@@ -421,7 +651,14 @@ class Trainer:
             # dynamic batch adaptation at scheduled one-shot boundaries
             # (occupancy-marching sampler only; the proposal sampler has a
             # fixed per-ray sample count by construction)
-            if cfg.dynamic_batching and self.model.config.sampler == "occgrid":
+            if (
+                cfg.dynamic_batching
+                and self.model.config.sampler == "occgrid"
+                # one decision in flight at a time: a new decision would
+                # orphan the pending shape's background compile and decide
+                # from metrics of a shape that is about to be replaced
+                and self._pending_adapt is None
+            ):
                 scheduled = any(
                     self.step - self._last_n < s <= self.step
                     for s in cfg.adapt_steps
@@ -447,11 +684,20 @@ class Trainer:
                     ) / max(self._dyn_rays, 1)
                     periodic = abs(mean_now - sized_for) > cfg.adapt_drift * sized_for
                 if scheduled or periodic:
-                    self._adapt_batch(
+                    new = self._compute_adapt(
                         float(metrics["num_samples_per_batch"]),
                         p99=float(metrics.get("num_occupied_p99", 0.0)),
                         eval_stages=self._eval_stage_metrics(metrics),
                     )
+                    if new is not None and cfg.adapt_prefetch_steps > 0:
+                        # decide now, apply at a fixed later boundary; the
+                        # new shape's executable compiles in the background
+                        # while training continues at the current shape
+                        new["apply_step"] = self.step + cfg.adapt_prefetch_steps
+                        self._pending_adapt = new
+                        self._prefetch_chunk(new, total_iters)
+                    elif new is not None:
+                        self._apply_adapt(new)
 
             if crossed(cfg.steps_per_log) or self.step == total_iters:
                 metrics = {k2: float(v) for k2, v in metrics.items()}
@@ -490,6 +736,49 @@ class Trainer:
         last_metrics["total_train_time_s"] = time.time() - t_start
         return last_metrics
 
+    def _warmstart_builds(self, total_iters: int) -> None:
+        """Cold-start overlap: start the builds (trace + fast-tier backend
+        compile, each in its own daemon thread) for everything the first
+        warmup steps will dispatch — the step-0 chunk, the full occupancy
+        update, and (when warmup thinning demotes some updates) the partial
+        occupancy update. The loop's first uses join the threads, so the
+        three backend compiles run concurrently in the compile service
+        instead of serially blocking the loop."""
+        cfg = self.config
+        key = self._chunk_key(self.step, total_iters, fuse=False)
+        if key not in self._chunk_fns:
+            self._chunk_fns[key] = _ChunkExec(
+                self._build_train_chunk(
+                    key[0], key[1], self._dyn_march, key[3], fuse_occ=False,
+                ),
+                (self.state, self.train_data, self.train_cam),
+                cfg.fast_compile_effort,
+                cfg.background_full_compile,
+                defer_calls=cfg.full_compile_defer_chunks,
+                prefetch=True,
+                tag=f" chunk{key}",
+            )
+        if self.model.config.sampler == "occgrid":
+            self._occ_update(True, prefetch=True)
+            if (
+                self.model.occ_config.warmup_full_every > 1
+                or not cfg.fuse_occ_update
+            ):
+                self._occ_update(False, prefetch=True)
+
+    def _chunk_key(self, step: int, total_iters: int, fuse: bool):
+        """Cache key of the chunk executable the loop dispatches at `step`
+        with the CURRENT dynamic shapes: (scan length, rays, samples/ray,
+        stage budget(s), occ-fusion variant)."""
+        interval = self.model.occ_config.update_interval
+        n = min(interval - (step % interval), total_iters - step)
+        budget = (
+            tuple(self._dyn_budgets)
+            if len(self._dyn_budgets) > 1
+            else self._dyn_budgets[0]
+        )
+        return (n, self._dyn_rays, self._dyn_march.num_samples, budget, fuse)
+
     @staticmethod
     def _eval_stage_metrics(metrics) -> list:
         """Per-stage field-evaluation counts [s1, s2, ...] from a metrics
@@ -506,6 +795,80 @@ class Trainer:
         p99: float = 0.0,
         eval_stages: Optional[list] = None,
     ) -> None:
+        """Compute a resize from measurements and apply it immediately."""
+        new = self._compute_adapt(samples_per_batch, p99, eval_stages)
+        if new is not None:
+            self._apply_adapt(new)
+
+    def _prefetch_chunk(self, new: dict, total_iters: int) -> None:
+        """Pre-build the chunk executable for a decided-but-pending batch
+        adaptation, keyed exactly as the train loop will look it up.
+
+        The build (trace + fast-tier backend compile) runs in a daemon
+        thread (_ChunkExec prefetch mode) so training continues at the
+        current shape meanwhile; the loop's lookup at the apply boundary
+        finds the entry already in `_chunk_fns` and its first call joins
+        the build thread (a no-op if the compile already landed)."""
+        cfg = self.config
+        interval = self.model.occ_config.update_interval
+        # simulate the loop's chunk advance from the current (decision)
+        # boundary to the first boundary at/after apply_step — that is the
+        # step whose (n, fuse) the lookup key will carry
+        step = self.step
+        while step < new["apply_step"] and step < total_iters:
+            step += min(interval - (step % interval), total_iters - step)
+        if step >= total_iters:
+            return
+        due, full = self.model.occ_update_due(step)
+        in_warmup = step < self.model.occ_config.warmup_steps
+        fuse = due and not full and cfg.fuse_occ_update and not in_warmup
+        n = min(interval - (step % interval), total_iters - step)
+        budgets = list(new["budgets"])
+        budget = tuple(budgets) if len(budgets) > 1 else budgets[0]
+        keys = [(n, new["rays"], new["march"].num_samples, budget, fuse)]
+        if in_warmup and not fuse and cfg.fuse_occ_update:
+            # the shape applies inside warmup (unfused) but will outlive it:
+            # prefetch its FUSED variant too, or the warmup->steady
+            # transition blocks ~60 s compiling it (measured, cold run 4)
+            w = self.model.occ_config.warmup_steps
+            n_post = min(interval, total_iters - w)
+            if n_post > 0:
+                keys.append(
+                    (n_post, new["rays"], new["march"].num_samples, budget, True)
+                )
+        for key in keys:
+            if key in self._chunk_fns:
+                continue
+            self._chunk_fns[key] = _ChunkExec(
+                self._build_train_chunk(
+                    key[0], new["rays"], new["march"], budget, fuse_occ=key[4],
+                ),
+                (self.state, self.train_data, self.train_cam),
+                cfg.fast_compile_effort,
+                cfg.background_full_compile,
+                defer_calls=cfg.full_compile_defer_chunks,
+                prefetch=True,
+                tag=f" chunk{key} (prefetch)",
+            )
+
+    def _apply_adapt(self, new: dict) -> None:
+        self._dyn_rays = new["rays"]
+        self._dyn_march = new["march"]
+        self._dyn_budgets = list(new["budgets"])
+        print(
+            f"[trainer] dynamic batch: mean eval samples/ray "
+            f"{new['mean_eval']:.1f} (marched {new['mean_spr']:.1f}, "
+            f"p99 {new['p99']:.0f}) -> rays {new['rays']}, "
+            f"samples/ray {new['march'].num_samples}, "
+            f"budgets {'/'.join(str(b) for b in new['budgets'])}"
+        )
+
+    def _compute_adapt(
+        self,
+        samples_per_batch: float,
+        p99: float = 0.0,
+        eval_stages: Optional[list] = None,
+    ) -> Optional[dict]:
         """Resize (rays, samples-per-ray, stage budgets) to measurements.
 
         mean samples/ray after grid convergence is far below the static pad.
@@ -516,6 +879,8 @@ class Trainer:
         field-evaluation means size only the compact stage budgets and R'
         (~target_num_samples useful field evaluations per step) — large S
         costs just cheap (R, S) VPU lanes; the field cost is the budgets.
+
+        Returns the new shape dict, or None when it would be a no-op.
         """
         import dataclasses as dc
 
@@ -552,8 +917,7 @@ class Trainer:
         )
         scale_r = new_r / max(self._dyn_rays, 1)
         old_budgets = list(self._dyn_budgets)
-        self._dyn_rays = new_r
-        self._dyn_march = dc.replace(self._dyn_march, num_samples=new_s)
+        new_march = dc.replace(self._dyn_march, num_samples=new_s)
         # compact stage budgets: ~1.3x the measured stage-1 mean; tail
         # stages get extra headroom (1.6x) — their occupancy is the most
         # variable. One budget per termination stage.
@@ -568,34 +932,50 @@ class Trainer:
             for i in range(1, n_tail + 1):
                 measured = eval_stages[i] if i < len(eval_stages) else 0.0
                 prev = old_budgets[i] if i < len(old_budgets) else None
-                if measured <= 0.0 or (prev is not None and measured >= 0.9 * prev):
-                    # demand unmeasured (first staged adapt), or the prior
-                    # measurement ran into its own budget ceiling
-                    # (truncation hides true demand): bootstrap, bounded
-                    # below by the stage-1 budget
+                if measured <= 0.0:
+                    # demand unmeasured (first staged adapt): bootstrap from
+                    # the marched excess, capped at the stage-1 budget. (The
+                    # cap used to be a FLOOR — tail buffers bootstrapped to
+                    # the full stage-1 size, 6.5x the excess estimate at
+                    # bench shapes, which tripled the first adapted chunk's
+                    # compile and its per-step cost for the whole interim
+                    # window. Undersized bootstraps self-correct below.)
                     budgets.append(
-                        max(budgets[0], int(1.6 * est / n_tail) // 256 * 256)
+                        max(
+                            4096,
+                            min(
+                                budgets[0],
+                                int(1.6 * est / n_tail) // 256 * 256,
+                            ),
+                        )
+                    )
+                elif prev is not None and measured >= 0.9 * prev:
+                    # the prior measurement ran into its own budget ceiling
+                    # (truncation hides true demand): escalate — double the
+                    # buffer (R-rescaled) instead of re-using an estimate
+                    # that already proved too small
+                    budgets.append(
+                        max(4096, int(2.0 * prev * scale_r) // 256 * 256)
                     )
                 else:
                     budgets.append(
                         max(4096, int(1.6 * measured * scale_r) // 256 * 256)
                     )
-            self._dyn_budgets = budgets
         else:
-            self._dyn_budgets = [
-                max(4096, int(1.3 * mean_spr * new_r) // 256 * 256)
-            ]
+            budgets = [max(4096, int(1.3 * mean_spr * new_r) // 256 * 256)]
         # no-op only when BOTH the shapes and the budgets are unchanged:
         # with rays pinned at the cap the budgets still drift and must be
         # resized, else the periodic drift check re-fires forever
-        if shapes_unchanged and self._dyn_budgets == old_budgets:
-            return
-        print(
-            f"[trainer] dynamic batch: mean eval samples/ray {mean_eval:.1f} "
-            f"(marched {mean_spr:.1f}, p99 {p99:.0f}) -> "
-            f"rays {new_r}, samples/ray {new_s}, "
-            f"budgets {'/'.join(str(b) for b in self._dyn_budgets)}"
-        )
+        if shapes_unchanged and budgets == old_budgets:
+            return None
+        return {
+            "rays": new_r,
+            "march": new_march,
+            "budgets": budgets,
+            "mean_eval": mean_eval,
+            "mean_spr": mean_spr,
+            "p99": p99,
+        }
 
     # ------------------------------------------------------------------
     def eval_batch(self) -> Dict[str, float]:
@@ -665,11 +1045,21 @@ class Trainer:
             def render_all(state, chunks):
                 key = jax.random.PRNGKey(0)
                 return jax.lax.map(
-                    lambda sl: fwd(state["params"], state["occ"], sl, key),
+                    lambda sl: fwd(
+                        state["params"], state["occ"], sl, key, state["step"]
+                    ),
                     chunks,
                 )
 
-            self._render_fns[key_rf] = jax.jit(render_all)
+            # the lax.map over chunks is a while loop -> same XLA compile
+            # pathology as the train chunk (docs/PERFORMANCE.md round 4);
+            # tier it like the chunk: fast-effort first, full in background
+            self._render_fns[key_rf] = _ChunkExec(
+                jax.jit(render_all),
+                (self.state, padded),
+                self.config.fast_compile_effort,
+                self.config.background_full_compile,
+            )
         outs = self._render_fns[key_rf](self.state, padded)
         merged = {}
         for k, v in outs.items():
@@ -843,9 +1233,12 @@ class Trainer:
                 dyn = _json.load(f)
             # lazily-initialised train() state; pre-seed it so the first
             # chunk after resume compiles with the adapted shapes
-            self._occ_update_fn = self._build_occ_update()
             self._chunk_fns = {}
             self._train_step_fn = True
+            # the dyn snapshot stores APPLIED shapes; an adapt that was
+            # pending (decided, prefetch-compiling) at save time is dropped —
+            # the periodic drift check re-derives it after resume
+            self._pending_adapt = None
             self._dyn_rays = int(dyn["rays"])
             self._dyn_march = dc.replace(
                 self.model.march_config, num_samples=int(dyn["num_samples"])

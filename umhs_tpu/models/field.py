@@ -64,13 +64,15 @@ class FieldConfig:
     use_average_appearance_embedding: bool = False
     temperature: float = 0.2
     pred_specular: bool = False
-    # Opt-in warmup ramp on the specular residual gate: s1 *= clip(step/N, 0, 1)
+    # Warmup ramp on the specular residual gate: s1 *= clip(step/N, 0, 1)
     # over the first N train steps. Closes a seed-dependent early-training
     # local minimum where the view-dependent residual absorbs the diffuse
     # signal (spectral = spec + s1*specular, reference umhs_field.py:251-258)
     # and training stalls at loss~0.04; see docs/PERFORMANCE.md "Early-training
-    # specular trap". 0 (default) = reference behaviour, no ramp.
-    specular_ramp_steps: int = 0
+    # specular trap" and tests/test_train_e2e.py::test_specular_trap_regression.
+    # Default 1000 (a deliberate, measured deviation from the reference, which
+    # has no ramp and is exposed to the trap); 0 = reference behaviour.
+    specular_ramp_steps: int = 1000
     pred_dino: bool = False
     dino_dim: int = 128
     use_scene_contraction: bool = True
@@ -301,12 +303,16 @@ def field_outputs(
             logits, s1 = logits[..., : cfg.num_classes], logits[..., cfg.num_classes :]
             s1 = jax.nn.sigmoid(s1)  # (N, 1)
             if cfg.specular_ramp_steps > 0 and step is not None:
-                # trace-time gated (default off -> HLO identical): fade the
-                # residual in so the diffuse unmixing path fits first
+                # trace-time gated (ramp 0 -> HLO identical to the reference
+                # formula): fade the residual in so the diffuse unmixing path
+                # fits first. Computed in f32: under a bf16 compute dtype,
+                # step/N in s1.dtype would quantise to ~8 mantissa bits.
                 ramp = jnp.clip(
-                    jnp.asarray(step, s1.dtype) / cfg.specular_ramp_steps, 0.0, 1.0
+                    jnp.asarray(step, jnp.float32) / cfg.specular_ramp_steps,
+                    0.0,
+                    1.0,
                 )
-                s1 = s1 * ramp
+                s1 = s1 * ramp.astype(s1.dtype)
         abundances = jax.nn.softmax(logits / cfg.temperature, axis=-1)  # (N, K)
 
         endmembers = params["endmembers"]  # (K, B)

@@ -98,14 +98,18 @@ class ModelConfig:
     temperature: float = 0.2
     pred_dino: bool = False
     pred_specular: bool = False
-    # opt-in specular-residual warmup ramp (see FieldConfig.specular_ramp_steps)
-    specular_ramp_steps: int = 0
+    # specular-residual warmup ramp, default ON at 1000 steps (see
+    # FieldConfig.specular_ramp_steps; 0 restores exact reference behaviour)
+    specular_ramp_steps: int = 1000
     load_vca: bool = False
     eval_num_rays_per_chunk: int = 4096
     # TPU static-shape marching budget (replaces nerfacc's dynamic packing)
     num_candidates: int = 1024
     max_samples_per_ray: int = 96
     occ_subsamples: int = 4  # fine steps per occupancy query (~cell size)
+    # warmup full-update thinning (see OccGridConfig.warmup_full_every);
+    # 1 = exact nerfacc warmup schedule
+    occ_warmup_full_every: int = 1
     # hierarchical march pre-pass: supercell factor for the max-pooled
     # occupancy bitfield (0 disables; grid_resolution must divide by it).
     # Cuts march occupancy-gather rows ~2x at equal coverage.
@@ -139,13 +143,17 @@ class ModelConfig:
     # early_stop_eps — nerfacc's sigma_fn termination at stage granularity
     # (/root/reference/umhsnerf/umhs_model.py:229-237). 0 disables staging.
     stage_samples: int = 16
-    # Optional multi-checkpoint staging: explicit ascending lane boundaries
-    # replacing the single stage_samples split, e.g. (8, 16) -> three stages
-    # [0,8), [8,16), [16,S) with an exact termination check after each.
-    # Empty = (stage_samples,). Extra checkpoints terminate rays earlier
-    # (fewer field evaluations) at the cost of one more compaction buffer
-    # and its gather/scatter per stage.
-    stage_boundaries: Tuple[int, ...] = ()
+    # Multi-checkpoint staging: explicit ascending lane boundaries replacing
+    # the single stage_samples split, e.g. (8, 16) -> three stages [0,8),
+    # [8,16), [16,S) with an exact termination check after each. Empty =
+    # (stage_samples,). Extra checkpoints terminate rays earlier (fewer
+    # field evaluations) at the cost of one more compaction buffer and its
+    # gather/scatter per stage. Default (8, 16): measured +40% sustained
+    # throughput at equal eval PSNR vs the two-stage split (termination is
+    # exact either way; docs/PERFORMANCE.md round-3 table). Boundaries >=
+    # the per-ray sample count are dropped, so small-S configs degrade to
+    # fewer stages automatically.
+    stage_boundaries: Tuple[int, ...] = (8, 16)
     # Sampler family: 'occgrid' (the reference method's nerfacc-style
     # occupancy marching) or 'proposal' (nerfacto-style proposal networks
     # with PDF resampling — no occupancy grid, robust on unbounded scenes).
@@ -197,6 +205,7 @@ class UMHSModel:
             aabb_min=aabb_min,
             aabb_max=aabb_max,
             pool=pool,
+            warmup_full_every=config.occ_warmup_full_every,
         )
         self.march_config = MarchConfig(
             num_candidates=config.num_candidates,
@@ -273,12 +282,16 @@ class UMHSModel:
         )
 
     def occ_update_due(self, step: int) -> Tuple[bool, bool]:
-        """(due, full_update) per the nerfacc schedule."""
+        """(due, full_update) per the nerfacc schedule, with optional
+        warmup full-update thinning (OccGridConfig.warmup_full_every)."""
         if self.config.sampler == "proposal":
             return False, False
         cfg = self.occ_config
         due = step % cfg.update_interval == 0
-        return due, step < cfg.warmup_steps
+        full = step < cfg.warmup_steps and (
+            step % (cfg.update_interval * max(cfg.warmup_full_every, 1)) == 0
+        )
+        return due, full
 
     # ------------------------------------------------------------------
     # forward

@@ -39,6 +39,15 @@ class OccGridConfig:
     occ_thre: float = 0.01
     warmup_steps: int = 256
     update_interval: int = 16
+    # During warmup nerfacc runs a FULL update (every cell, every level) at
+    # every due step — 16 of them at the defaults, and each full map over
+    # res^3 x levels cells costs ~7.3 s on-TPU at the reference 128^3 x 4
+    # config (docs/PERFORMANCE.md round 4): ~117 s of every cold start.
+    # warmup_full_every=k keeps every k-th due update full and demotes the
+    # rest to the (cheap, sampled) partial update — the EMA still sees every
+    # cell at k x the interval, and the partial updates keep refreshing the
+    # sampled subset in between. 1 = exact nerfacc warmup semantics.
+    warmup_full_every: int = 1
     # Post-warmup cell-sampling fractions: nerfacc samples res^3/4 cells on
     # EVERY level each update (_sample_uniform_and_occupied_cells). The
     # density evals behind that are the single largest amortised train cost

@@ -147,11 +147,14 @@ def make_eval_forward(model, mesh: Optional[Mesh], axis_name: str = "data"):
     Ray counts must divide the mesh size (the trainer's chunk sizes are
     256-aligned).
 
-    Returns fwd(params, occ, rays, key) -> outputs dict.
+    Returns fwd(params, occ, rays, key, step) -> outputs dict. `step` is the
+    current train step (traced int32): mid-training eval renders then use the
+    same specular warmup gate as the training objective (the ramp saturates
+    at specular_ramp_steps, so converged checkpoints are unaffected).
     """
 
-    def fwd(params, occ, rays, key):
-        return model.forward(params, occ, rays, rng=key, train=False)
+    def fwd(params, occ, rays, key, step):
+        return model.forward(params, occ, rays, rng=key, train=False, step=step)
 
     if mesh is None:
         return fwd
@@ -159,7 +162,7 @@ def make_eval_forward(model, mesh: Optional[Mesh], axis_name: str = "data"):
     return jax.shard_map(
         fwd,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis_name), P()),
+        in_specs=(P(), P(), P(axis_name), P(), P()),
         out_specs=P(axis_name),
         check_vma=False,
     )
