@@ -214,29 +214,30 @@ def main():
             # FOUR scheduled adapts and no periodic re-adapts: a fixed
             # ladder of compiled chunk shapes per run, and — with fixed
             # seeds + synthetic data — bit-identical adapted shapes across
-            # runs, so the persistent compilation cache hits. The first
-            # decision sits at the occupancy warmup boundary (256); later
-            # ones track the grid's continued pruning (at 256 the grid is
-            # still ~2x too dense, so the first adapt sizes the ray batch
-            # ~2x too small; subsequent adapts replace bootstrapped stage
-            # budgets with measured demand and grow the ray batch at
-            # ~constant field cost — the production trainer does this
+            # runs, so the persistent compilation cache hits. Later adapts
+            # track the grid's continued pruning, replace bootstrapped
+            # stage budgets with measured demand and grow the ray batch at
+            # ~constant field cost (the production trainer does this
             # continuously via adapt_every; the bench pins the behaviour to
             # fixed steps for shape determinism). Decisions are spaced >
             # adapt_prefetch_steps apart so each applies before the next
             # decides; interim chunks stay unfused (the trainer reuses the
             # warmup executable, see engine/trainer.py), so the initial
             # 4096-ray shape never pays a fused-variant compile.
-            # the first decision sits at step 128, NOT the occupancy warmup
-            # boundary (256): the grid's occupied tail is already converged
-            # there (measured p99 96 at step 128 vs 92 at 256, mean
-            # samples/ray 11 vs 9.5 — cold-run logs, round 4), and deciding
-            # 128 steps earlier returns ~110 s of a cold run's budget to
-            # measured post-adapt slices
+            # The first decision sits at step 96, NOT the occupancy warmup
+            # boundary (256): the grid's occupied tail is essentially
+            # converged there (measured p99 104 at step 96 vs 96 at 128 and
+            # 92 at 256, mean samples/ray ~11 throughout — cold-run logs,
+            # round 4). Deciding early matters because a COLD run's 480 s
+            # driver budget only harvests the rungs it finishes: with the
+            # ladder at 96/256 a cold machine applies rung 1 at step 192
+            # (~wall 210 s) and completes a rung-2 slice (~2x rung 1's
+            # rays/s) just before the deadline, roughly doubling the scored
+            # cold number vs the previous 128/304 schedule.
             adapt_steps=tuple(
                 int(x)
                 for x in os.environ.get(
-                    "UMHS_BENCH_ADAPTS", "128,304,480,656"
+                    "UMHS_BENCH_ADAPTS", "96,256,416,608"
                 ).split(",")
                 if x
             ),
@@ -359,7 +360,11 @@ def main():
     try:
         while trainer.step < max_steps and remaining() > EMIT_MARGIN_S:
             steady = trainer.step >= warmup_until
-            n = 96 if steady else 32
+            # pre-steady slices are ONE occ interval: best-so-far updates
+            # every ~10-20 s, the deadline loses at most one 16-step window
+            # of harvested rate, and a fresh shape's program-load cost is
+            # confined to its first slice instead of diluting a 32-step one
+            n = 96 if steady else 16
             n = min(n, max_steps - trainer.step)
             t0 = time.time()
             m = trainer.train(num_iterations=trainer.step + n)

@@ -21,6 +21,7 @@ import dataclasses
 import json
 import math
 import os
+import threading
 import time
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
@@ -148,6 +149,16 @@ class TrainerConfig:
     optimizer: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
 
 
+# Tracing (`jitted.lower`) is Python-side and GIL-bound: on this class of
+# single-CPU host, N concurrent prefetched builds slow EVERY lower ~N-7x
+# (measured 63-205 s concurrent vs 4-9 s alone — cold-run logs, round 4)
+# and the first-needed executable lands last. Serializing the trace while
+# leaving the backend compile (a GIL-releasing RPC into the compile
+# service, which runs compiles concurrently) outside the lock keeps the
+# build pipeline: trace sequentially in start order, compile in parallel.
+_TRACE_LOCK = threading.Lock()
+
+
 class _ChunkExec:
     """Two-tier compiled executable for one train-chunk shape.
 
@@ -201,14 +212,17 @@ class _ChunkExec:
 
         def _build():
             try:
-                t0 = time.time()
-                self._lowered = jitted.lower(*example_args)
-                t1 = time.time()
+                t_q = time.time()
+                with _TRACE_LOCK:
+                    t0 = time.time()
+                    self._lowered = jitted.lower(*example_args)
+                    t1 = time.time()
                 self._fast = self._lowered.compile(
                     {"exec_time_optimization_effort": float(fast_effort)}
                 )
+                queued = f"queued {t0 - t_q:.0f}s + " if t0 - t_q > 1.0 else ""
                 print(
-                    f"[trainer] fast-tier compile{self._tag}: "
+                    f"[trainer] fast-tier compile{self._tag}: {queued}"
                     f"lower {t1 - t0:.0f}s + backend {time.time() - t1:.0f}s"
                 )
             except Exception as e:  # noqa: BLE001 — unsupported option etc.
