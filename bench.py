@@ -224,20 +224,23 @@ def main():
             # decides; interim chunks stay unfused (the trainer reuses the
             # warmup executable, see engine/trainer.py), so the initial
             # 4096-ray shape never pays a fused-variant compile.
-            # The first decision sits at step 96, NOT the occupancy warmup
+            # The first decision sits at step 64, NOT the occupancy warmup
             # boundary (256): the grid's occupied tail is essentially
-            # converged there (measured p99 104 at step 96 vs 96 at 128 and
-            # 92 at 256, mean samples/ray ~11 throughout — cold-run logs,
-            # round 4). Deciding early matters because a COLD run's 480 s
-            # driver budget only harvests the rungs it finishes: with the
-            # ladder at 96/256 a cold machine applies rung 1 at step 192
-            # (~wall 210 s) and completes a rung-2 slice (~2x rung 1's
-            # rays/s) just before the deadline, roughly doubling the scored
-            # cold number vs the previous 128/304 schedule.
+            # converged long before (measured p99 104 at step 96 vs 96 at
+            # 128 and 92 at 256, mean samples/ray ~11 throughout — cold-run
+            # logs, round 4). Deciding early matters because a COLD run's
+            # 480 s driver budget only harvests the rungs it finishes: each
+            # rung's executable now compiles fully in the background (the
+            # round-5 prefetch fix — the ladder simulation previously used a
+            # call-local horizon, making every rung application block on a
+            # ~50 s foreground compile under this file's 16-step sliced
+            # driving), so rung wall-cost is just its first-dispatch program
+            # load. Decisions are spaced > adapt_prefetch_steps apart so
+            # each applies before the next decides.
             adapt_steps=tuple(
                 int(x)
                 for x in os.environ.get(
-                    "UMHS_BENCH_ADAPTS", "96,256,416,608"
+                    "UMHS_BENCH_ADAPTS", "64,176,304,448"
                 ).split(",")
                 if x
             ),
@@ -299,7 +302,13 @@ def main():
             # the 256-step warmup (8 full maps instead of nerfacc's 16, with
             # cheap partial updates in between) — each full map costs ~7.3 s
             # on-TPU, so this returns ~58 s of a cold run's budget to
-            # measurement. 1 = exact nerfacc warmup schedule (A/B arm).
+            # measurement. BENCH-ONLY: a 3-seed A/B measured thinning
+            # ~0.7-2.3 dB behind the exact schedule on held-out views at
+            # short horizons (docs/PERFORMANCE.md round 5, test_train_e2e
+            # ::test_warmup_full_thinning_grid_reconciles), so production
+            # keeps the exact nerfacc schedule (ModelConfig default 1) and
+            # the bench keeps the round-4-verified value 2 rather than
+            # thinning further. 1 = exact schedule (A/B arm).
             occ_warmup_full_every=int(os.environ.get("UMHS_BENCH_OCC_WARMUP", "2")),
             # Three-stage exact termination is the default: boundaries
             # (8, 16) add an exact transmittance-termination checkpoint

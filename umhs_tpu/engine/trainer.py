@@ -592,6 +592,11 @@ class Trainer:
             # (~40-50 s saved of a cold start's serial 52+12+31 s;
             # docs/PERFORMANCE.md round 4)
             self._warmstart_builds(total_iters)
+        if self._train_step_fn is not None and getattr(self, "_pending_adapt", None):
+            # sliced drivers: a decision fired at the end of the previous
+            # train() call; re-attempt its prefetch in case any key was
+            # skipped (idempotent — existing keys are not rebuilt)
+            self._prefetch_chunk(self._pending_adapt, total_iters)
 
         def crossed(period: int) -> bool:
             """True when a multiple of `period` lies in (step - last_n, step]."""
@@ -617,20 +622,23 @@ class Trainer:
             # (partial) updates fuse into the chunk dispatch when enabled;
             # warmup FULL updates always go through the separate dispatch.
             due, full = self.model.occ_update_due(step)
-            # Fusion is for the steady state only. During warmup, thinned
-            # (partial) updates stay a separate dispatch so no fused chunk
-            # variant of the warmup shape is ever compiled; and while an
-            # adapt is pending (decided, background-compiling), the chunk
-            # variant (fused/unfused) is picked to REUSE an
+            # Fusion is for the settled steady state only (_fuse_gate_step):
+            # during warmup AND while the scheduled adapt ladder is still
+            # climbing, (partial) updates stay a separate dispatch so no
+            # fused chunk variant of a short-lived shape is ever compiled —
+            # an interim ladder rung lives ~100 steps, and its fused variant
+            # costs a ~50 s compile plus a ~30-45 s first-dispatch program
+            # load to save ~1.2 s of dispatch overhead per 16 steps
+            # (measured, docs/PERFORMANCE.md round 5). While an adapt is
+            # pending (decided, background-compiling), the chunk variant
+            # (fused/unfused) is additionally picked to REUSE an
             # already-compiled executable of the current shape rather than
-            # block ~40-55 s compiling a variant of a shape about to be
-            # retired (post-warmup the unfused warmup executable exists;
-            # after a first adapt the fused adapted executable exists). The
+            # block compiling a variant of a shape about to be retired. The
             # fused and unfused paths draw the same RNG stream at the same
             # step, so the trajectory is unchanged by either choice
-            # (_build_train_chunk).
-            in_warmup = step < self.model.occ_config.warmup_steps
-            fuse = due and not full and cfg.fuse_occ_update and not in_warmup
+            # (_build_train_chunk), and the gate is a fixed step — never a
+            # wall-clock-dependent switch.
+            fuse = due and not full and step >= self._fuse_gate_step()
             if fuse and self._pending_adapt is not None:
                 fuse = self._chunk_key(step, total_iters, fuse=True) in getattr(
                     self, "_chunk_fns", {}
@@ -708,6 +716,12 @@ class Trainer:
                         # new shape's executable compiles in the background
                         # while training continues at the current shape
                         new["apply_step"] = self.step + cfg.adapt_prefetch_steps
+                        # last scheduled rung (or a post-ladder periodic
+                        # re-adapt): this shape persists past the fuse gate,
+                        # so its fused variant is prefetched too
+                        new["final"] = periodic or (
+                            cfg.adapt_steps and self.step >= max(cfg.adapt_steps)
+                        )
                         self._pending_adapt = new
                         self._prefetch_chunk(new, total_iters)
                     elif new is not None:
@@ -774,11 +788,41 @@ class Trainer:
             )
         if self.model.config.sampler == "occgrid":
             self._occ_update(True, prefetch=True)
+            # the separate partial dispatch serves thinned warmup updates
+            # AND every post-warmup boundary before the fuse gate
             if (
                 self.model.occ_config.warmup_full_every > 1
                 or not cfg.fuse_occ_update
+                or self._fuse_gate_step() > self.model.occ_config.warmup_steps
             ):
                 self._occ_update(False, prefetch=True)
+
+    def _fuse_gate_step(self) -> int:
+        """First step from which the occupancy update may fuse into the
+        chunk dispatch. Gate = the later of occupancy warmup end and the
+        scheduled adapt ladder's completion (last scheduled decision +
+        prefetch window, rounded up to the occ interval): every shape that
+        exists before the gate is short-lived by schedule, and compiling a
+        fused variant of it costs far more (fast-tier compile + program
+        load) than the ~1.2 s/16-step separate occ dispatch it saves. A
+        fixed-step gate keeps the executable ladder deterministic across
+        runs (compile-cache hits) regardless of compile wall time."""
+        cfg = self.config
+        if not cfg.fuse_occ_update:
+            return 1 << 62
+        gate = self.model.occ_config.warmup_steps
+        # only ladder rungs that can actually fire count (a scheduled adapt
+        # at/after max_num_iterations never decides)
+        live = [s for s in cfg.adapt_steps if s < cfg.max_num_iterations]
+        if (
+            cfg.dynamic_batching
+            and live
+            and self.model.config.sampler == "occgrid"
+        ):
+            interval = self.model.occ_config.update_interval
+            done = max(live) + cfg.adapt_prefetch_steps
+            gate = max(gate, -(-done // interval) * interval)
+        return gate
 
     def _chunk_key(self, step: int, total_iters: int, fuse: bool):
         """Cache key of the chunk executable the loop dispatches at `step`
@@ -822,30 +866,41 @@ class Trainer:
         thread (_ChunkExec prefetch mode) so training continues at the
         current shape meanwhile; the loop's lookup at the apply boundary
         finds the entry already in `_chunk_fns` and its first call joins
-        the build thread (a no-op if the compile already landed)."""
+        the build thread (a no-op if the compile already landed).
+
+        The ladder is simulated against the GLOBAL schedule
+        (max_num_iterations), not just the current train() call's target:
+        sliced drivers (bench.py, tests) end every call exactly at a
+        decision boundary, where a call-local horizon would make the
+        prefetch a silent no-op and every rung application would block on
+        a synchronous fast-tier compile (~50 s measured) — the round-4
+        cold runs' dominant hidden cost."""
         cfg = self.config
         interval = self.model.occ_config.update_interval
+        horizon = max(total_iters, cfg.max_num_iterations)
         # simulate the loop's chunk advance from the current (decision)
         # boundary to the first boundary at/after apply_step — that is the
         # step whose (n, fuse) the lookup key will carry
         step = self.step
-        while step < new["apply_step"] and step < total_iters:
-            step += min(interval - (step % interval), total_iters - step)
-        if step >= total_iters:
+        while step < new["apply_step"] and step < horizon:
+            step += min(interval - (step % interval), horizon - step)
+        if step >= horizon:
             return
+        gate = self._fuse_gate_step()
         due, full = self.model.occ_update_due(step)
-        in_warmup = step < self.model.occ_config.warmup_steps
-        fuse = due and not full and cfg.fuse_occ_update and not in_warmup
-        n = min(interval - (step % interval), total_iters - step)
+        fuse = due and not full and step >= gate
+        n = min(interval - (step % interval), horizon - step)
         budgets = list(new["budgets"])
         budget = tuple(budgets) if len(budgets) > 1 else budgets[0]
         keys = [(n, new["rays"], new["march"].num_samples, budget, fuse)]
-        if in_warmup and not fuse and cfg.fuse_occ_update:
-            # the shape applies inside warmup (unfused) but will outlive it:
-            # prefetch its FUSED variant too, or the warmup->steady
-            # transition blocks ~60 s compiling it (measured, cold run 4)
-            w = self.model.occ_config.warmup_steps
-            n_post = min(interval, total_iters - w)
+        if not fuse and cfg.fuse_occ_update and new.get("final", False):
+            # the shape applies before the fuse gate (unfused) but — being
+            # the ladder's last scheduled rung — will outlive it: prefetch
+            # its FUSED variant too, or the gate crossing blocks ~50 s
+            # compiling it (measured, cold run 4's warmup->steady analogue)
+            g = max(gate, step)
+            g += (interval - g % interval) % interval
+            n_post = min(interval, horizon - g)
             if n_post > 0:
                 keys.append(
                     (n_post, new["rays"], new["march"].num_samples, budget, True)
@@ -967,9 +1022,18 @@ class Trainer:
                     # the prior measurement ran into its own budget ceiling
                     # (truncation hides true demand): escalate — double the
                     # buffer (R-rescaled) instead of re-using an estimate
-                    # that already proved too small
+                    # that already proved too small. Capped at the physical
+                    # maximum demand (every lane of every ray occupied):
+                    # repeated ceiling hits must not overshoot past what the
+                    # march can ever emit
                     budgets.append(
-                        max(4096, int(2.0 * prev * scale_r) // 256 * 256)
+                        max(
+                            4096,
+                            min(
+                                int(2.0 * prev * scale_r),
+                                new_r * new_s,
+                            ) // 256 * 256,
+                        )
                     )
                 else:
                     budgets.append(
