@@ -88,6 +88,11 @@ def main():
 
     import jax.numpy as jnp
 
+    def fetch(x):
+        # relay-safe: block_until_ready is a no-op through axon
+        leaves = [l for l in jax.tree.leaves(x) if hasattr(l, "dtype")]
+        return float(leaves[0].reshape(-1)[0])
+
     rows = []
     for e in efforts:
         t0 = time.time()
@@ -96,12 +101,12 @@ def main():
         st = jax.tree.map(jnp.copy, trainer.state)
         # one unmeasured dispatch (device warm), then reps measured
         st, m = ex(st, trainer.train_data, trainer.train_cam)
-        jax.block_until_ready(m)
+        fetch(m)
         times = []
         for _ in range(args.reps):
             t0 = time.time()
             st, m = ex(st, trainer.train_data, trainer.train_cam)
-            jax.block_until_ready(m)
+            fetch(m)
             times.append(time.time() - t0)
         spstep = min(times) / args.scan
         rows.append((e, tc, spstep))

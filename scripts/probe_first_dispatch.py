@@ -36,6 +36,16 @@ def t():
     return time.time()
 
 
+def fetch(x):
+    """Force completion: host-fetch one scalar leaf (block_until_ready is
+    a no-op through the axon relay — docs/PERFORMANCE.md header)."""
+    import jax
+
+    leaves = [l for l in jax.tree.leaves(x) if hasattr(l, "dtype")]
+    return float(leaves[0].reshape(-1)[0])
+
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-parity", action="store_true")
@@ -106,13 +116,13 @@ def main():
     st = fresh_state()
     t0 = t()
     st, m = fast(st, trainer.train_data, trainer.train_cam)
-    jax.block_until_ready(m)
+    fetch(m)
     d1 = t() - t0
     times = []
     for _ in range(3):
         t0 = t()
         st, m = fast(st, trainer.train_data, trainer.train_cam)
-        jax.block_until_ready(m)
+        fetch(m)
         times.append(t() - t0)
     steady = min(times)
     print(f"# exec A: first dispatch {d1:.1f}s, steady {steady:.1f}s "
@@ -123,7 +133,7 @@ def main():
     st2 = fresh_state()
     t0 = t()
     st2, m2 = fast2(st2, trainer.train_data, trainer.train_cam)
-    jax.block_until_ready(m2)
+    fetch(m2)
     d2 = t() - t0
     print(f"# exec B (same lowering, new handle): first dispatch {d2:.1f}s",
           flush=True)
@@ -149,8 +159,8 @@ def main():
     ta = t() - t0
     stc, mc = fast_c(stc, trainer.train_data, trainer.train_cam)
     tb = t() - t0
-    jax.block_until_ready(mc)
-    jax.block_until_ready(m)
+    fetch(mc)
+    fetch(m)
     total = t() - t0
     print(f"# overlap: enqueue A {ta:.2f}s, enqueue C {tb:.2f}s, "
           f"both done {total:.1f}s (serial would be ~{steady + d1:.1f}s)",
@@ -158,7 +168,7 @@ def main():
     # steady-state of C afterwards, for reference
     t0 = t()
     stc, mc = fast_c(stc, trainer.train_data, trainer.train_cam)
-    jax.block_until_ready(mc)
+    fetch(mc)
     print(f"# exec C second dispatch {t()-t0:.1f}s", flush=True)
 
     # ---- 4. tier parity on the scan-1 chunk -------------------------------
