@@ -131,6 +131,7 @@ def _warm_state_dir() -> Path:
         "UMHS_BENCH_ADAPTS",
         "UMHS_BENCH_PREFETCH",
         "UMHS_BENCH_OCC_WARMUP",
+        "UMHS_BENCH_HASH",
     ):
         h.update(f"{k}={os.environ.get(k, '')};".encode())
     base = Path.home() / ".cache" / "umhs_tpu"
@@ -254,7 +255,7 @@ def main():
             # blocking on it; the adapt steps above are spaced > prefetch
             # so no decision lands inside a pending window. 0 = blocking
             # adapts (A/B arm).
-            adapt_prefetch_steps=int(os.environ.get("UMHS_BENCH_PREFETCH", "96")),
+            adapt_prefetch_steps=int(os.environ.get("UMHS_BENCH_PREFETCH", "80")),
             # UMHS_BENCH_FUSE=0 disables occ-update fusion (A/B knob)
             fuse_occ_update=os.environ.get("UMHS_BENCH_FUSE", "1") != "0",
             # the bench drives train() in short slices; a checkpoint save at
@@ -288,9 +289,16 @@ def main():
             num_candidates=1024,
             max_samples_per_ray=64,
             cone_angle=0.004,
-            hash_num_levels=16,
-            hash_features_per_level=2,
-            log2_hashmap_size=19,
+            # UMHS_BENCH_HASH="L,F,log2" overrides the table shape — e.g.
+            # "8,4,19" for the L8xF4 arm (same 64-wide encoding, half the
+            # gather rows/sample; the measured single-chip-ceiling lever in
+            # docs/PERFORMANCE.md "The 5x target, re-derived").
+            **dict(zip(
+                ("hash_num_levels", "hash_features_per_level",
+                 "log2_hashmap_size"),
+                (int(x) for x in os.environ.get(
+                    "UMHS_BENCH_HASH", "16,2,19").split(",")),
+            )),
             # TPU-native execution choices (same model class, not a softer
             # config): tetrahedral 4-vertex interpolation (half the gather
             # rows; trilinear A/B in docs/PERFORMANCE.md) and the

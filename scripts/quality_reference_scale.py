@@ -49,6 +49,22 @@ def main():
                     choices=[None, "float32", "bfloat16"],
                     help="HS cube staging dtype (bfloat16 halves HBM for "
                          "141-band scenes, the production Bayspec setting)")
+    ap.add_argument("--hash-levels", type=int, default=16)
+    ap.add_argument("--hash-features", type=int, default=2)
+    ap.add_argument("--log2-hashmap", type=int, default=19,
+                    help="hash table shape; 16/2/19 is the reference's tcnn "
+                         "config (umhs_field.py mlp_base), 8/4/19 the "
+                         "TPU-optimized L8xF4 arm (same 64-wide encoding, "
+                         "half the gather rows/sample)")
+    ap.add_argument("--target-samples", type=int, default=24576,
+                    help="dynamic-batch sample target. The default keeps the "
+                         "ray batch at ~4096 (reference-envelope parity: "
+                         "scripts/hotdog.sh trains at 4096 rays/batch, "
+                         "anacampseros.sh at 2048/GPU) — which is why the "
+                         "reference-parity quality rows report ~5-10k rays/s; "
+                         "the per-step fixed costs dominate at R~2.5k. Raise "
+                         "to ~200k-400k to let the batcher climb to the "
+                         "bench-scale R (the TPU-native envelope).")
     args = ap.parse_args()
     # Bayspec envelope defaults: 400-1000 nm over 141 bands
     if args.wl_start is None:
@@ -98,10 +114,11 @@ def main():
             use_mesh=True,
             experiment_name="quality-ref-scale",
             # reference training envelope: 4096 rays/batch (scripts/hotdog.sh).
-            # target_num_samples is set so the dynamic batcher keeps R at
-            # ~4096 once the grid converges (mean eval samples/ray ~6),
-            # adapting only the compact budgets and S to the occupancy.
-            target_num_samples=24576,
+            # The default --target-samples keeps R at ~4096 once the grid
+            # converges (mean eval samples/ray ~6), adapting only the compact
+            # budgets and S to the occupancy; larger values scale the batch
+            # toward the bench-scale TPU envelope.
+            target_num_samples=args.target_samples,
             seed=args.seed,
             optimizer=OptimizerConfig(
                 lr=2e-2, eps=1e-15, lr_final=1e-5, max_steps=args.steps
@@ -115,9 +132,9 @@ def main():
             grid_resolution=128,
             grid_levels=4,
             cone_angle=0.004,
-            hash_num_levels=16,
-            hash_features_per_level=2,
-            log2_hashmap_size=19,
+            hash_num_levels=args.hash_levels,
+            hash_features_per_level=args.hash_features,
+            log2_hashmap_size=args.log2_hashmap,
             num_candidates=1024,
             max_samples_per_ray=64,
             hash_interpolation=args.interp,
@@ -146,9 +163,11 @@ def main():
             "bands": args.bands,
             "hs_dtype": args.hs_dtype or "float32",
             "num_classes": 6,
-            "hash": f"L16xF2 2^19 ({args.interp})",
+            "hash": (f"L{args.hash_levels}xF{args.hash_features} "
+                     f"2^{args.log2_hashmap} ({args.interp})"),
             "grid": "128^3 x 4, cone 0.004",
             "batch_rays": 4096,
+            "target_samples": args.target_samples,
             "lr": "2e-2 -> 1e-5 exp",
             "seed": args.seed,
         },

@@ -59,9 +59,8 @@ def _trainer(scene_dir, tmp_path, method="rgb+spectral", iters=300,
         output_dir=tmp_path / "outputs",
         experiment_name="smoke",
         mixed_precision=False,
-        use_mesh=False,
         optimizer=OptimizerConfig(lr=1e-2, max_steps=iters),
-        **(trainer_kw or {}),
+        **{"use_mesh": False, **(trainer_kw or {})},
     )
     return Trainer(t_cfg, model_cfg, dm_cfg, num_classes=2)
 
@@ -127,7 +126,8 @@ def test_dynamic_batch_adaptation(scene_dir, tmp_path, monkeypatch):
     import dataclasses as dc
 
     trainer.config = dc.replace(
-        trainer.config, dynamic_batching=True, adapt_steps=(48,), target_num_samples=8192
+        trainer.config, dynamic_batching=True, adapt_steps=(48,),
+        target_num_samples=8192, adapt_prefetch_steps=0,
     )
     trainer.setup()
     trainer.train()
@@ -252,7 +252,8 @@ def test_dynamic_state_survives_resume(scene_dir, tmp_path, monkeypatch):
 
     trainer = _trainer(scene_dir, tmp_path, method="rgb", iters=64)
     trainer.config = dc.replace(
-        trainer.config, dynamic_batching=True, adapt_steps=(32,), target_num_samples=8192
+        trainer.config, dynamic_batching=True, adapt_steps=(32,),
+        target_num_samples=8192, adapt_prefetch_steps=0,
     )
     trainer.setup()
     trainer.train()
@@ -262,7 +263,8 @@ def test_dynamic_state_survives_resume(scene_dir, tmp_path, monkeypatch):
 
     t2 = _trainer(scene_dir, tmp_path, method="rgb", iters=64)
     t2.config = dc.replace(
-        t2.config, dynamic_batching=True, adapt_steps=(32,), target_num_samples=8192
+        t2.config, dynamic_batching=True, adapt_steps=(32,),
+        target_num_samples=8192, adapt_prefetch_steps=0,
     )
     t2.setup()
     t2.load_checkpoint(trainer.checkpoint_dir)
@@ -289,6 +291,7 @@ def test_periodic_readapt_resizes_budget(scene_dir, tmp_path, monkeypatch):
         dynamic_batching=True,
         adapt_steps=(16,),
         adapt_every=16,
+        adapt_prefetch_steps=0,
         adapt_drift=0.0,  # any drift triggers: forces the periodic path
     )
     trainer.setup()
@@ -381,7 +384,7 @@ def test_three_stage_dynamic_budgets(scene_dir, tmp_path, monkeypatch):
     )
     t.config = dc.replace(
         t.config, dynamic_batching=True, adapt_steps=(32,),
-        target_num_samples=8192,
+        target_num_samples=8192, adapt_prefetch_steps=0,
     )
     t.setup()
     m = t.train()
@@ -395,7 +398,7 @@ def test_three_stage_dynamic_budgets(scene_dir, tmp_path, monkeypatch):
     )
     t2.config = dc.replace(
         t2.config, dynamic_batching=True, adapt_steps=(32,),
-        target_num_samples=8192,
+        target_num_samples=8192, adapt_prefetch_steps=0,
     )
     t2.setup()
     t2.load_checkpoint(t.checkpoint_dir)
@@ -572,3 +575,82 @@ def test_dino_head_trains_and_cluster_gate(scene_dir, tmp_path, monkeypatch):
     d1 = float(m["loss/dino_mse"])
     assert np.isfinite(d0) and np.isfinite(d1)
     assert d1 < d0, (d0, d1)
+
+
+def test_scan1_bridge_parity(scene_dir, tmp_path, monkeypatch):
+    """Cold-start scan-1 bridge: scan(1) dispatched n times must reproduce
+    the scan(n) chunk's final state and last-step metrics bitwise (the
+    trainer steps through the bridge while the scan-n executable is still
+    backend-compiling — engine/trainer.py train() dispatch site)."""
+    monkeypatch.chdir(tmp_path)
+    t = _trainer(scene_dir, tmp_path, method="rgb", iters=16)
+    t.setup()
+    t._init_dyn()
+    march = t._dyn_march
+    budget = t._dyn_budgets[0]
+    f16 = t._build_train_chunk(16, t._dyn_rays, march, budget)
+    f1 = t._build_train_chunk(1, t._dyn_rays, march, budget)
+    # donated args: copy the state for the second run
+    s0 = jax.tree.map(lambda x: np.asarray(x).copy(), t.state)
+    sA, mA = f16(jax.tree.map(jax.numpy.asarray, s0), t.train_data, t.train_cam)
+    sB = jax.tree.map(jax.numpy.asarray, s0)
+    for _ in range(16):
+        sB, mB = f1(sB, t.train_data, t.train_cam)
+    for ka in sA:
+        for la, lb in zip(
+            jax.tree.leaves(sA[ka]), jax.tree.leaves(sB[ka])
+        ):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    for k in mA:
+        np.testing.assert_array_equal(np.asarray(mA[k]), np.asarray(mB[k]))
+
+
+def test_sds_prelower_matches_real_args(scene_dir, tmp_path, monkeypatch):
+    """_example_sds must reproduce the EXACT avals of the real
+    (state, data, cam) args — the setup-time cold build lowers against
+    these ShapeDtypeStructs, and any mismatch would make the AOT executable
+    reject (or silently retrace for) the real first call. Verified under
+    the 8-device CPU mesh so mesh shardings are exercised too."""
+    monkeypatch.chdir(tmp_path)
+    t = _trainer(
+        scene_dir, tmp_path, method="rgb+spectral", iters=16,
+        trainer_kw={"use_mesh": True},
+    )
+    key = jax.random.PRNGKey(t.config.seed)
+    em = None
+    sds_state, sds_data, sds_cam = t._example_sds(key, em)
+    t.setup(endmembers_init=em)
+    t._init_dyn()
+
+    def avals(tree):
+        return jax.tree.map(
+            lambda x: (tuple(x.shape), jax.numpy.asarray(x).dtype
+                       if not hasattr(x, "dtype") else x.dtype),
+            tree,
+        )
+
+    assert avals(sds_state) == avals(t.state)
+    assert avals(sds_data) == avals(t.train_data)
+    assert avals(sds_cam) == avals(t.train_cam)
+    # shardings match what setup() committed (replicated over the mesh)
+    for sds_leaf, real_leaf in zip(
+        jax.tree.leaves(sds_state), jax.tree.leaves(t.state)
+    ):
+        assert sds_leaf.sharding == real_leaf.sharding, (
+            sds_leaf.sharding, real_leaf.sharding)
+    # and an AOT compile against the SDS args accepts the real args and
+    # matches the jit path bitwise
+    f = t._build_train_chunk(4, t._dyn_rays, t._dyn_march, t._dyn_budgets[0])
+    compiled = f.lower(sds_state, sds_data, sds_cam).compile()
+    s0 = jax.tree.map(lambda x: np.asarray(x).copy(), t.state)
+    sA, mA = compiled(t.state, t.train_data, t.train_cam)
+    f2 = t._build_train_chunk(4, t._dyn_rays, t._dyn_march, t._dyn_budgets[0])
+    sB, mB = f2(
+        jax.device_put(
+            s0, jax.sharding.NamedSharding(t.mesh, jax.sharding.PartitionSpec())
+        ),
+        t.train_data,
+        t.train_cam,
+    )
+    for la, lb in zip(jax.tree.leaves(sA), jax.tree.leaves(sB)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))

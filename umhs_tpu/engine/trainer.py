@@ -145,7 +145,13 @@ class TrainerConfig:
     # flight at a time: a scheduled adapt step that falls inside a pending
     # window is skipped (space adapt_steps > adapt_prefetch_steps apart),
     # and periodic drift re-adapts simply fire at the next crossing.
-    adapt_prefetch_steps: int = 0
+    # Default 96 (round-5 promotion of the bench-verified value): at the
+    # production schedule (adapt_steps 512/2048 over 30k iterations) a
+    # 96-step deferral is trajectory-negligible, and without it every rung
+    # application blocks on a ~50 s foreground fast-tier compile — the plain
+    # CLI train path paid the full cold-start cost the bench had engineered
+    # away. Tests that assert apply-at-decide semantics pin this to 0.
+    adapt_prefetch_steps: int = 96
     optimizer: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
 
 
@@ -171,6 +177,19 @@ class _ChunkExec:
     hot-swapped in once ready. Both tiers execute the identical HLO program
     — only backend scheduling differs — so the training trajectory is
     unchanged by the swap.
+
+    NOTE on swap-step determinism (advisor finding, round 4): the
+    "identical trajectory" claim is an assumption about XLA's
+    exec_time_optimization_effort knob — that it changes instruction
+    scheduling/overlap but not fusion-level float rounding. It cannot be
+    runtime-checked cheaply here because chunk args are DONATED (a second
+    dispatch of the same state through the other executable would read
+    freed buffers, and cloning ~GB of state per swap defeats the point).
+    Empirical standing: the round-3/4 bench trajectories (which hot-swap
+    mid-run at a wall-clock-dependent step) reproduced their training-PSNR
+    curves and their restored-checkpoint hashes across runs on this XLA
+    version; treat the identity as verified-per-XLA-version and re-check
+    the fixed-seed bench PSNR trace after any jax/libtpu upgrade.
 
     The background compile is DEFERRED until the shape has served
     `defer_calls` chunk dispatches: dynamic-batch adaptation retires early
@@ -372,6 +391,9 @@ class Trainer:
             and os.path.exists(self.datamanager.config.dataparser.vca_cache)
         ):
             endmembers_init = np.load(self.datamanager.config.dataparser.vca_cache)
+        # start tracing the step-0 executables against abstract args while
+        # init + staging compute below (round-5 cold-start overlap)
+        self._begin_cold_builds(key, endmembers_init)
         params, occ_state = self.model.init(key, endmembers_init)
         opt_state = self.optimizer.init(params)
         self.state = {
@@ -522,7 +544,7 @@ class Trainer:
 
         return jax.jit(update, donate_argnums=(0,))
 
-    def _occ_update(self, full: bool, prefetch: bool = False):
+    def _occ_update(self, full: bool, prefetch: bool = False, example=None):
         """Tiered executable for the occupancy update. The full (warmup)
         variant's chunked density map hits the same while-loop compile
         pathology as the train chunk: measured 411 s default-effort backend
@@ -534,9 +556,11 @@ class Trainer:
         if not hasattr(self, "_occ_update_tiers"):
             self._occ_update_tiers = {}
         if full not in self._occ_update_tiers:
+            if example is None:
+                example = (self.state["occ"], self.state["params"], 0)
             self._occ_update_tiers[full] = _ChunkExec(
                 self._build_occ_update(full),
-                (self.state["occ"], self.state["params"], 0),
+                example,
                 self.config.fast_compile_effort,
                 self.config.background_full_compile and not full,
                 defer_calls=self.config.full_compile_defer_chunks,
@@ -568,17 +592,13 @@ class Trainer:
         """
         cfg = self.config
         interval = self.model.occ_config.update_interval
-        if self._train_step_fn is None:
-            self._chunk_fns = {}
-            self._dyn_rays = self.datamanager.config.train_num_rays_per_batch
-            self._dyn_march = self.model.march_config
-            # pre-adaptation: no compact truncation (full R*S budget) so the
-            # bootstrap phase on a dense grid samples exactly like nerfacc.
-            # _dyn_budgets: [whole-batch] unstaged, or one entry per
-            # termination stage (len(active_stage_boundaries)+1) once sized
-            self._dyn_budgets = [self._dyn_rays * self._dyn_march.num_samples]
-            self._pending_adapt = None  # decided-but-not-yet-applied resize
-            self._train_step_fn = True  # built lazily per (n, rays, march)
+        # a setup-time cold-build thread may still be computing abstract
+        # shapes / registering builds — join it before touching _chunk_fns
+        t = getattr(self, "_cold_build_thread", None)
+        if t is not None:
+            t.join()
+            self._cold_build_thread = None
+        self._init_dyn()
         total_iters = num_iterations or cfg.max_num_iterations
         if (
             self.step == 0
@@ -590,7 +610,8 @@ class Trainer:
             # variants' builds CONCURRENTLY before the loop needs them —
             # their backend compiles overlap in the compile service
             # (~40-50 s saved of a cold start's serial 52+12+31 s;
-            # docs/PERFORMANCE.md round 4)
+            # docs/PERFORMANCE.md round 4). Normally this already happened
+            # at setup() time, overlapped with init/staging (_begin_cold_builds).
             self._warmstart_builds(total_iters)
         if self._train_step_fn is not None and getattr(self, "_pending_adapt", None):
             # sliced drivers: a decision fired at the end of the previous
@@ -662,9 +683,28 @@ class Trainer:
                     defer_calls=cfg.full_compile_defer_chunks,
                     tag=f" chunk{key}",
                 )
-            self.state, metrics = self._chunk_fns[key](
-                self.state, self.train_data, self.train_cam
-            )
+            # Scan-1 bridge (cold start): while the scan-N executable is
+            # still backend-compiling, step through the prefetched scan-1
+            # executable instead of blocking — scan(1) applied n times IS
+            # the scan-n trajectory (same step_fn, same RNG stream in the
+            # donated state; parity-tested). ~25% slower per step from
+            # dispatch overhead, vs ~40 s of idle wait. The choice of
+            # executable is wall-clock dependent; the trajectory is not.
+            chunk_exec = self._chunk_fns[key]
+            bridge = None
+            if n > 1 and not fuse and not chunk_exec.ready():
+                b = self._chunk_fns.get((1,) + key[1:])
+                if b is not None and b.ready() and b._fast is not None:
+                    bridge = b
+            if bridge is not None:
+                for _ in range(n):
+                    self.state, metrics = bridge(
+                        self.state, self.train_data, self.train_cam
+                    )
+            else:
+                self.state, metrics = chunk_exec(
+                    self.state, self.train_data, self.train_cam
+                )
             self.step += n
             self._last_n = n
             window_steps += n
@@ -764,30 +804,144 @@ class Trainer:
         last_metrics["total_train_time_s"] = time.time() - t_start
         return last_metrics
 
-    def _warmstart_builds(self, total_iters: int) -> None:
+    def _example_sds(self, key, endmembers_init):
+        """(state, data, cam) example pytrees as ShapeDtypeStructs — the
+        exact avals (incl. replicated mesh shardings) that setup() will
+        produce, derived WITHOUT running init or staging: model/optimizer
+        state via jax.eval_shape, data/camera shapes from the host-resident
+        dataset. Lets the first chunk's ~60 s trace start before the real
+        arrays exist; the AOT executables validate (and would loudly
+        reject) any mismatch at the first real call — parity is covered by
+        tests/test_train_e2e.py::test_sds_prelower_matches_real_args."""
+        from ..parallel.mesh import replicated as _replicated
+
+        shard = _replicated(self.mesh) if self.mesh is not None else None
+
+        def sds(shape, dtype):
+            if shard is not None:
+                return jax.ShapeDtypeStruct(tuple(shape), dtype, sharding=shard)
+            return jax.ShapeDtypeStruct(tuple(shape), dtype)
+
+        def wrap(tree):
+            return jax.tree.map(lambda a: sds(a.shape, a.dtype), tree)
+
+        params_a, occ_a = jax.eval_shape(self.model.init, key, endmembers_init)
+        opt_a = jax.eval_shape(self.optimizer.init, params_a)
+        rng_a = jax.eval_shape(
+            lambda: jax.random.PRNGKey(self.config.seed + 1)
+        )
+        state = {
+            "params": wrap(params_a),
+            "opt_state": wrap(opt_a),
+            "occ": wrap(occ_a),
+            "step": sds((), jnp.int32),
+            "rng": wrap(rng_a),
+        }
+        dm = self.datamanager
+        hs_dt = (
+            jnp.bfloat16 if dm.config.hs_dtype == "bfloat16" else jnp.float32
+        )
+        data = {}
+        for k, v in dm.train_dataset.arrays().items():
+            dt = (
+                hs_dt
+                if k == "hs_image"
+                else (jnp.int32 if k == "seg_image" else jnp.float32)
+            )
+            data[k] = sds(v.shape, dt)
+        vi = dm.train_dataset.valid_indices()
+        if vi is not None:
+            data["valid_indices"] = sds(vi.shape, vi.dtype)
+        cams = dm.train_outputs.cameras
+        cam = {
+            "c2w": sds(cams.camera_to_worlds.shape, jnp.float32),
+            "fx": sds(cams.fx.shape, jnp.float32),
+            "fy": sds(cams.fy.shape, jnp.float32),
+            "cx": sds(cams.cx.shape, jnp.float32),
+            "cy": sds(cams.cy.shape, jnp.float32),
+        }
+        if (
+            cams.distortion_params is not None
+            and np.abs(cams.distortion_params).max() > 0
+        ):
+            cam["distortion"] = sds(cams.distortion_params.shape, jnp.float32)
+        return state, data, cam
+
+    def _begin_cold_builds(self, key, endmembers_init) -> None:
+        """Kick off the step-0 executable builds from setup(), overlapped
+        with init/staging. The first trace pays a ~56 s one-time
+        tracing-machinery warmup on top of its ~11 s marginal cost
+        (measured, round-5 cold log) — running it concurrently with
+        setup()'s device work takes most of it off the cold critical path.
+        TPU-only; skipped for checkpoint resumes (the step-0 shape would be
+        wasted) and when the fast tier is disabled."""
+        cfg = self.config
+        if (
+            self.step != 0
+            or cfg.load_dir is not None
+            or cfg.fast_compile_effort is None
+            or jax.default_backend() == "cpu"
+        ):
+            return
+        self._init_dyn()
+
+        def _go():
+            try:
+                example = self._example_sds(key, endmembers_init)
+                self._warmstart_builds(cfg.max_num_iterations, example=example)
+            except Exception as e:  # noqa: BLE001 — fall back to lazy builds
+                print(f"[trainer] setup-time cold builds unavailable: {e!r}")
+
+        self._cold_build_thread = threading.Thread(target=_go, daemon=True)
+        self._cold_build_thread.start()
+
+    def _init_dyn(self) -> None:
+        """Initialise the dynamic-shape fields (idempotent)."""
+        if self._train_step_fn is not None:
+            return
+        self._chunk_fns = {}
+        self._dyn_rays = self.datamanager.config.train_num_rays_per_batch
+        self._dyn_march = self.model.march_config
+        # pre-adaptation: no compact truncation (full R*S budget) so the
+        # bootstrap phase on a dense grid samples exactly like nerfacc.
+        # _dyn_budgets: [whole-batch] unstaged, or one entry per
+        # termination stage (len(active_stage_boundaries)+1) once sized
+        self._dyn_budgets = [self._dyn_rays * self._dyn_march.num_samples]
+        self._pending_adapt = None  # decided-but-not-yet-applied resize
+        self._train_step_fn = True  # built lazily per (n, rays, march)
+
+    def _warmstart_builds(self, total_iters: int, example=None) -> None:
         """Cold-start overlap: start the builds (trace + fast-tier backend
         compile, each in its own daemon thread) for everything the first
-        warmup steps will dispatch — the step-0 chunk, the full occupancy
-        update, and (when warmup thinning demotes some updates) the partial
-        occupancy update. The loop's first uses join the threads, so the
-        three backend compiles run concurrently in the compile service
-        instead of serially blocking the loop."""
+        warmup steps will dispatch — the occupancy updates, a scan-1
+        BRIDGE chunk, and the step-0 scan-N chunk. The loop's first uses
+        join the threads, so the backend compiles run concurrently in the
+        compile service instead of serially blocking the loop.
+
+        Build order matters: traces serialize on _TRACE_LOCK, and whoever
+        traces first also pays the one-time tracing-machinery warmup
+        (measured 67 s first trace vs 11 s for the same structure traced
+        later — round-5 cold log). The occ updates trace first (smallest
+        graphs, and the step-0 full update is the first thing dispatched),
+        then the scan-1 bridge (backend-compiles in ~10-15 s at the fast
+        tier vs ~55 s for the scan-16 loop — the while-loop pathology,
+        docs/PERFORMANCE.md round 4), then the scan-N chunk. Until the
+        scan-N executable lands, the loop steps through the bridge —
+        scan(1) applied N times is the identical trajectory.
+
+        `example` optionally supplies (state, data, cam) example args —
+        real arrays or ShapeDtypeStructs — so setup() can start these
+        builds before the real state/data exist (_begin_cold_builds).
+        """
         cfg = self.config
-        key = self._chunk_key(self.step, total_iters, fuse=False)
-        if key not in self._chunk_fns:
-            self._chunk_fns[key] = _ChunkExec(
-                self._build_train_chunk(
-                    key[0], key[1], self._dyn_march, key[3], fuse_occ=False,
-                ),
-                (self.state, self.train_data, self.train_cam),
-                cfg.fast_compile_effort,
-                cfg.background_full_compile,
-                defer_calls=cfg.full_compile_defer_chunks,
-                prefetch=True,
-                tag=f" chunk{key}",
-            )
+        ex_state, ex_data, ex_cam = example or (
+            self.state, self.train_data, self.train_cam
+        )
         if self.model.config.sampler == "occgrid":
-            self._occ_update(True, prefetch=True)
+            self._occ_update(
+                True, prefetch=True,
+                example=(ex_state["occ"], ex_state["params"], 0),
+            )
             # the separate partial dispatch serves thinned warmup updates
             # AND every post-warmup boundary before the fuse gate
             if (
@@ -795,7 +949,30 @@ class Trainer:
                 or not cfg.fuse_occ_update
                 or self._fuse_gate_step() > self.model.occ_config.warmup_steps
             ):
-                self._occ_update(False, prefetch=True)
+                self._occ_update(
+                    False, prefetch=True,
+                    example=(ex_state["occ"], ex_state["params"], 0),
+                )
+        key = self._chunk_key(self.step, total_iters, fuse=False)
+        keys = [key]
+        if key[0] > 1:
+            keys.insert(0, (1,) + key[1:])  # bridge traces/compiles first
+        for k in keys:
+            if k in self._chunk_fns:
+                continue
+            self._chunk_fns[k] = _ChunkExec(
+                self._build_train_chunk(
+                    k[0], k[1], self._dyn_march, k[3], fuse_occ=False,
+                ),
+                (ex_state, ex_data, ex_cam),
+                cfg.fast_compile_effort,
+                # the bridge retires as soon as the scan-N executable lands
+                # — never pay its default-effort background compile
+                cfg.background_full_compile and k[0] > 1,
+                defer_calls=cfg.full_compile_defer_chunks,
+                prefetch=True,
+                tag=f" chunk{k}",
+            )
 
     def _fuse_gate_step(self) -> int:
         """First step from which the occupancy update may fuse into the
@@ -993,7 +1170,20 @@ class Trainer:
         bounds = self.model.active_stage_boundaries(new_s)
         if eval_s1 > 0 and bounds:
             s1_cap = bounds[0]
-            budgets = [max(4096, int(1.3 * eval_s1 * scale_r) // 256 * 256)]
+            # Physical lane maxima per stage: stage 1 evaluates at most
+            # s1_cap depth-ordered lanes per ray, stage i at most its
+            # boundary gap. Budgets above these caps are pure padded
+            # gather/MLP waste — the FIRST staged adapt sizes budgets[0]
+            # from the UNSTAGED eval demand (~mean_spr lanes/ray), which at
+            # bench shapes overshot the stage-1 physical max by ~2x
+            # (340,480 sized vs 163,840 = R*8 possible — round-5 fix).
+            gaps = [bounds[0]] + [
+                b - a for a, b in zip(bounds, list(bounds[1:]) + [new_s])
+            ]
+            phys = [new_r * g for g in gaps]
+            budgets = [
+                max(4096, min(int(1.3 * eval_s1 * scale_r), phys[0]) // 256 * 256)
+            ]
             n_tail = len(bounds)
             # bootstrap estimate for unmeasured tail stages: mean marched
             # excess over the stage-1 lanes, split evenly among them
@@ -1014,8 +1204,9 @@ class Trainer:
                             4096,
                             min(
                                 budgets[0],
-                                int(1.6 * est / n_tail) // 256 * 256,
-                            ),
+                                int(1.6 * est / n_tail),
+                                phys[i],
+                            ) // 256 * 256,
                         )
                     )
                 elif prev is not None and measured >= 0.9 * prev:
@@ -1031,13 +1222,17 @@ class Trainer:
                             4096,
                             min(
                                 int(2.0 * prev * scale_r),
-                                new_r * new_s,
+                                phys[i],
                             ) // 256 * 256,
                         )
                     )
                 else:
                     budgets.append(
-                        max(4096, int(1.6 * measured * scale_r) // 256 * 256)
+                        max(
+                            4096,
+                            min(int(1.6 * measured * scale_r), phys[i])
+                            // 256 * 256,
+                        )
                     )
         else:
             budgets = [max(4096, int(1.3 * mean_spr * new_r) // 256 * 256)]
