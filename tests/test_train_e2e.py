@@ -603,54 +603,3 @@ def test_scan1_bridge_parity(scene_dir, tmp_path, monkeypatch):
             np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
     for k in mA:
         np.testing.assert_array_equal(np.asarray(mA[k]), np.asarray(mB[k]))
-
-
-def test_sds_prelower_matches_real_args(scene_dir, tmp_path, monkeypatch):
-    """_example_sds must reproduce the EXACT avals of the real
-    (state, data, cam) args — the setup-time cold build lowers against
-    these ShapeDtypeStructs, and any mismatch would make the AOT executable
-    reject (or silently retrace for) the real first call. Verified under
-    the 8-device CPU mesh so mesh shardings are exercised too."""
-    monkeypatch.chdir(tmp_path)
-    t = _trainer(
-        scene_dir, tmp_path, method="rgb+spectral", iters=16,
-        trainer_kw={"use_mesh": True},
-    )
-    key = jax.random.PRNGKey(t.config.seed)
-    em = None
-    sds_state, sds_data, sds_cam = t._example_sds(key, em)
-    t.setup(endmembers_init=em)
-    t._init_dyn()
-
-    def avals(tree):
-        return jax.tree.map(
-            lambda x: (tuple(x.shape), jax.numpy.asarray(x).dtype
-                       if not hasattr(x, "dtype") else x.dtype),
-            tree,
-        )
-
-    assert avals(sds_state) == avals(t.state)
-    assert avals(sds_data) == avals(t.train_data)
-    assert avals(sds_cam) == avals(t.train_cam)
-    # shardings match what setup() committed (replicated over the mesh)
-    for sds_leaf, real_leaf in zip(
-        jax.tree.leaves(sds_state), jax.tree.leaves(t.state)
-    ):
-        assert sds_leaf.sharding == real_leaf.sharding, (
-            sds_leaf.sharding, real_leaf.sharding)
-    # and an AOT compile against the SDS args accepts the real args and
-    # matches the jit path bitwise
-    f = t._build_train_chunk(4, t._dyn_rays, t._dyn_march, t._dyn_budgets[0])
-    compiled = f.lower(sds_state, sds_data, sds_cam).compile()
-    s0 = jax.tree.map(lambda x: np.asarray(x).copy(), t.state)
-    sA, mA = compiled(t.state, t.train_data, t.train_cam)
-    f2 = t._build_train_chunk(4, t._dyn_rays, t._dyn_march, t._dyn_budgets[0])
-    sB, mB = f2(
-        jax.device_put(
-            s0, jax.sharding.NamedSharding(t.mesh, jax.sharding.PartitionSpec())
-        ),
-        t.train_data,
-        t.train_cam,
-    )
-    for la, lb in zip(jax.tree.leaves(sA), jax.tree.leaves(sB)):
-        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))

@@ -391,9 +391,6 @@ class Trainer:
             and os.path.exists(self.datamanager.config.dataparser.vca_cache)
         ):
             endmembers_init = np.load(self.datamanager.config.dataparser.vca_cache)
-        # start tracing the step-0 executables against abstract args while
-        # init + staging compute below (round-5 cold-start overlap)
-        self._begin_cold_builds(key, endmembers_init)
         params, occ_state = self.model.init(key, endmembers_init)
         opt_state = self.optimizer.init(params)
         self.state = {
@@ -544,7 +541,7 @@ class Trainer:
 
         return jax.jit(update, donate_argnums=(0,))
 
-    def _occ_update(self, full: bool, prefetch: bool = False, example=None):
+    def _occ_update(self, full: bool, prefetch: bool = False):
         """Tiered executable for the occupancy update. The full (warmup)
         variant's chunked density map hits the same while-loop compile
         pathology as the train chunk: measured 411 s default-effort backend
@@ -556,11 +553,9 @@ class Trainer:
         if not hasattr(self, "_occ_update_tiers"):
             self._occ_update_tiers = {}
         if full not in self._occ_update_tiers:
-            if example is None:
-                example = (self.state["occ"], self.state["params"], 0)
             self._occ_update_tiers[full] = _ChunkExec(
                 self._build_occ_update(full),
-                example,
+                (self.state["occ"], self.state["params"], 0),
                 self.config.fast_compile_effort,
                 self.config.background_full_compile and not full,
                 defer_calls=self.config.full_compile_defer_chunks,
@@ -592,12 +587,6 @@ class Trainer:
         """
         cfg = self.config
         interval = self.model.occ_config.update_interval
-        # a setup-time cold-build thread may still be computing abstract
-        # shapes / registering builds — join it before touching _chunk_fns
-        t = getattr(self, "_cold_build_thread", None)
-        if t is not None:
-            t.join()
-            self._cold_build_thread = None
         self._init_dyn()
         total_iters = num_iterations or cfg.max_num_iterations
         if (
@@ -694,7 +683,18 @@ class Trainer:
             bridge = None
             if n > 1 and not fuse and not chunk_exec.ready():
                 b = self._chunk_fns.get((1,) + key[1:])
-                if b is not None and b.ready() and b._fast is not None:
+                if b is not None and b._build_thread is not None:
+                    # wait for WHICHEVER executable lands first: the scan-1
+                    # bridge backend-compiles in ~10-25 s, the scan-n loop
+                    # in ~45-55 s (the while-loop pathology) — a one-shot
+                    # check can miss the bridge by seconds and then idle
+                    # out the whole difference on the scan-n join
+                    while not chunk_exec.ready():
+                        if b.ready():
+                            bridge = b if b._fast is not None else None
+                            break
+                        time.sleep(0.25)
+                elif b is not None and b.ready() and b._fast is not None:
                     bridge = b
             if bridge is not None:
                 for _ in range(n):
@@ -804,97 +804,6 @@ class Trainer:
         last_metrics["total_train_time_s"] = time.time() - t_start
         return last_metrics
 
-    def _example_sds(self, key, endmembers_init):
-        """(state, data, cam) example pytrees as ShapeDtypeStructs — the
-        exact avals (incl. replicated mesh shardings) that setup() will
-        produce, derived WITHOUT running init or staging: model/optimizer
-        state via jax.eval_shape, data/camera shapes from the host-resident
-        dataset. Lets the first chunk's ~60 s trace start before the real
-        arrays exist; the AOT executables validate (and would loudly
-        reject) any mismatch at the first real call — parity is covered by
-        tests/test_train_e2e.py::test_sds_prelower_matches_real_args."""
-        from ..parallel.mesh import replicated as _replicated
-
-        shard = _replicated(self.mesh) if self.mesh is not None else None
-
-        def sds(shape, dtype):
-            if shard is not None:
-                return jax.ShapeDtypeStruct(tuple(shape), dtype, sharding=shard)
-            return jax.ShapeDtypeStruct(tuple(shape), dtype)
-
-        def wrap(tree):
-            return jax.tree.map(lambda a: sds(a.shape, a.dtype), tree)
-
-        params_a, occ_a = jax.eval_shape(self.model.init, key, endmembers_init)
-        opt_a = jax.eval_shape(self.optimizer.init, params_a)
-        rng_a = jax.eval_shape(
-            lambda: jax.random.PRNGKey(self.config.seed + 1)
-        )
-        state = {
-            "params": wrap(params_a),
-            "opt_state": wrap(opt_a),
-            "occ": wrap(occ_a),
-            "step": sds((), jnp.int32),
-            "rng": wrap(rng_a),
-        }
-        dm = self.datamanager
-        hs_dt = (
-            jnp.bfloat16 if dm.config.hs_dtype == "bfloat16" else jnp.float32
-        )
-        data = {}
-        for k, v in dm.train_dataset.arrays().items():
-            dt = (
-                hs_dt
-                if k == "hs_image"
-                else (jnp.int32 if k == "seg_image" else jnp.float32)
-            )
-            data[k] = sds(v.shape, dt)
-        vi = dm.train_dataset.valid_indices()
-        if vi is not None:
-            data["valid_indices"] = sds(vi.shape, vi.dtype)
-        cams = dm.train_outputs.cameras
-        cam = {
-            "c2w": sds(cams.camera_to_worlds.shape, jnp.float32),
-            "fx": sds(cams.fx.shape, jnp.float32),
-            "fy": sds(cams.fy.shape, jnp.float32),
-            "cx": sds(cams.cx.shape, jnp.float32),
-            "cy": sds(cams.cy.shape, jnp.float32),
-        }
-        if (
-            cams.distortion_params is not None
-            and np.abs(cams.distortion_params).max() > 0
-        ):
-            cam["distortion"] = sds(cams.distortion_params.shape, jnp.float32)
-        return state, data, cam
-
-    def _begin_cold_builds(self, key, endmembers_init) -> None:
-        """Kick off the step-0 executable builds from setup(), overlapped
-        with init/staging. The first trace pays a ~56 s one-time
-        tracing-machinery warmup on top of its ~11 s marginal cost
-        (measured, round-5 cold log) — running it concurrently with
-        setup()'s device work takes most of it off the cold critical path.
-        TPU-only; skipped for checkpoint resumes (the step-0 shape would be
-        wasted) and when the fast tier is disabled."""
-        cfg = self.config
-        if (
-            self.step != 0
-            or cfg.load_dir is not None
-            or cfg.fast_compile_effort is None
-            or jax.default_backend() == "cpu"
-        ):
-            return
-        self._init_dyn()
-
-        def _go():
-            try:
-                example = self._example_sds(key, endmembers_init)
-                self._warmstart_builds(cfg.max_num_iterations, example=example)
-            except Exception as e:  # noqa: BLE001 — fall back to lazy builds
-                print(f"[trainer] setup-time cold builds unavailable: {e!r}")
-
-        self._cold_build_thread = threading.Thread(target=_go, daemon=True)
-        self._cold_build_thread.start()
-
     def _init_dyn(self) -> None:
         """Initialise the dynamic-shape fields (idempotent)."""
         if self._train_step_fn is not None:
@@ -910,7 +819,7 @@ class Trainer:
         self._pending_adapt = None  # decided-but-not-yet-applied resize
         self._train_step_fn = True  # built lazily per (n, rays, march)
 
-    def _warmstart_builds(self, total_iters: int, example=None) -> None:
+    def _warmstart_builds(self, total_iters: int) -> None:
         """Cold-start overlap: start the builds (trace + fast-tier backend
         compile, each in its own daemon thread) for everything the first
         warmup steps will dispatch — the occupancy updates, a scan-1
@@ -929,19 +838,19 @@ class Trainer:
         scan-N executable lands, the loop steps through the bridge —
         scan(1) applied N times is the identical trajectory.
 
-        `example` optionally supplies (state, data, cam) example args —
-        real arrays or ShapeDtypeStructs — so setup() can start these
-        builds before the real state/data exist (_begin_cold_builds).
+        (A round-5 variant started these builds from setup() against
+        ShapeDtypeStruct args to overlap the trace with init/staging; on
+        this single-CPU host the GIL interleaving with setup's own tracing
+        blew the first trace up 67 s -> 334 s — measured negative, see
+        docs/PERFORMANCE.md round 5. Builds start at the first train()
+        call, strictly after setup.)
         """
         cfg = self.config
-        ex_state, ex_data, ex_cam = example or (
+        ex_state, ex_data, ex_cam = (
             self.state, self.train_data, self.train_cam
         )
         if self.model.config.sampler == "occgrid":
-            self._occ_update(
-                True, prefetch=True,
-                example=(ex_state["occ"], ex_state["params"], 0),
-            )
+            self._occ_update(True, prefetch=True)
             # the separate partial dispatch serves thinned warmup updates
             # AND every post-warmup boundary before the fuse gate
             if (
@@ -949,10 +858,7 @@ class Trainer:
                 or not cfg.fuse_occ_update
                 or self._fuse_gate_step() > self.model.occ_config.warmup_steps
             ):
-                self._occ_update(
-                    False, prefetch=True,
-                    example=(ex_state["occ"], ex_state["params"], 0),
-                )
+                self._occ_update(False, prefetch=True)
         key = self._chunk_key(self.step, total_iters, fuse=False)
         keys = [key]
         if key[0] > 1:
